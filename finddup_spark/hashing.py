@@ -1,0 +1,277 @@
+"""Deterministic 64-bit hashing primitives, shared engine <-> oracle.
+
+Everything here is pure numpy on ``uint64`` (wraparound semantics) so the
+exact same integer signatures are produced by the Spark pandas UDFs
+(:mod:`finddup_spark.functions.signatures`) and the single-process mirror
+oracle (:mod:`finddup_spark.oracle`) — that identity is what makes the
+north-rule "dup-pair recall >= 0.99 at the same config" hold at 1.0.
+
+The reference compares raw bytes (``finddup.py:225`` ``datachunks ==``);
+this module is the generalization of that equality test to hashes: token
+FNV-1a, polynomial shingle combine, splitmix64 finalization, and the
+(a*x + b) mod (2^61 - 1) MinHash permutation family (FIXTURES.md §4).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+
+from .config import MERSENNE_P
+
+_U64 = np.uint64
+_MASK64 = _U64(0xFFFFFFFFFFFFFFFF)
+_M61 = _U64(MERSENNE_P)
+
+# FNV-1a 64-bit constants.
+_FNV_OFFSET = 0xCBF29CE484222325
+_FNV_PRIME = 0x100000001B3
+
+#: odd multiplier for polynomial shingle combination (64-bit wraparound).
+SHINGLE_MULT = _U64(0x9E3779B97F4A7C15)  # 2^64 / golden ratio, odd
+
+
+def fnv1a64(data: bytes, seed: int = 0) -> int:
+    """Scalar FNV-1a 64 of ``data``, xor-seeded. Python ints (driver/oracle
+    side and per-*unique*-token only — never per row)."""
+    h = _FNV_OFFSET ^ (seed & 0xFFFFFFFFFFFFFFFF)
+    for byte in data:
+        h ^= byte
+        h = (h * _FNV_PRIME) & 0xFFFFFFFFFFFFFFFF
+    return h
+
+
+def hash_utf8_array(tokens: np.ndarray, seed: int = 0) -> np.ndarray:
+    """FNV-1a 64 over an array of (unique) strings -> uint64 array.
+
+    Callers pass *unique* tokens only (vocabulary per Arrow batch), so the
+    Python loop runs O(|vocab|), not O(|corpus|) — the batch-level
+    vectorization contract of SURVEY.md §2.8.
+    """
+    out = np.empty(len(tokens), dtype=np.uint64)
+    for i, tok in enumerate(tokens):
+        out[i] = fnv1a64(tok.encode("utf-8"), seed)
+    return out
+
+
+def splitmix64(x: np.ndarray) -> np.ndarray:
+    """Vectorized splitmix64 finalizer — decorrelates structured inputs."""
+    x = x.astype(np.uint64, copy=True)
+    x += _U64(0x9E3779B97F4A7C15)
+    z = x
+    z = (z ^ (z >> _U64(30))) * _U64(0xBF58476D1CE4E5B9)
+    z = (z ^ (z >> _U64(27))) * _U64(0x94D049BB133111EB)
+    return z ^ (z >> _U64(31))
+
+
+def shingle_hashes(token_hashes: np.ndarray, k: int) -> np.ndarray:
+    """All k-token shingle hashes of one token-hash sequence (vectorized).
+
+    Polynomial window: sh[i] = sum_j h[i+j] * C^(k-1-j) (uint64 wrap),
+    then splitmix64. A sequence shorter than k yields ONE shingle over the
+    whole sequence (so tiny docs still participate — the analog of the
+    reference hashing even 1-byte files).
+    """
+    n = len(token_hashes)
+    h = token_hashes.astype(np.uint64, copy=False)
+    kk = min(k, n) if n > 0 else 0
+    if kk == 0:
+        return np.empty(0, dtype=np.uint64)
+    vals = np.full(kk, SHINGLE_MULT, dtype=np.uint64)
+    vals[0] = _U64(1)
+    powers = np.multiply.accumulate(vals)[::-1].copy()  # [C^{k-1} … C, 1]
+    n_windows = n - kk + 1
+    acc = np.zeros(n_windows, dtype=np.uint64)
+    for j in range(kk):
+        acc += h[j : j + n_windows] * powers[j]
+    return splitmix64(acc)
+
+
+# ---------------------------------------------------------------------------
+# (a*x + b) mod 2^61-1 — branch-free uint64 modular arithmetic
+# ---------------------------------------------------------------------------
+
+def _red61(x: np.ndarray) -> np.ndarray:
+    """One folding step: maps x < 2^64 to a value < 2^61 + 2^3, congruent
+    mod 2^61-1 (since 2^61 ≡ 1)."""
+    return (x & _M61) + (x >> _U64(61))
+
+
+def modmul61(a: np.ndarray, b: np.ndarray) -> np.ndarray:
+    """(a * b) mod (2^61 - 1) for uint64 arrays with a, b < 2^61.
+
+    Splits both operands at bit 31 so every partial product fits in 64
+    bits; uses 2^62 ≡ 2 and 2^61 ≡ 1 (mod 2^61-1) to fold. Fully
+    vectorized, broadcast-compatible.
+    """
+    a = np.asarray(a, dtype=np.uint64)
+    b = np.asarray(b, dtype=np.uint64)
+    a1 = a >> _U64(31)                  # < 2^30
+    a0 = a & _U64(0x7FFFFFFF)           # < 2^31
+    b1 = b >> _U64(31)                  # < 2^30
+    b0 = b & _U64(0x7FFFFFFF)           # < 2^31
+    hi = (a1 * b1) << _U64(1)           # a1*b1*2^62 ≡ 2*a1*b1 < 2^61
+    mid = a1 * b0 + a0 * b1             # < 2^62
+    # mid * 2^31 ≡ (mid >> 30) + (mid & (2^30-1)) << 31   (2^61 ≡ 1)
+    mid_red = (mid >> _U64(30)) + ((mid & _U64(0x3FFFFFFF)) << _U64(31))
+    lo = a0 * b0                        # < 2^62
+    s = _red61(hi) + _red61(mid_red) + _red61(lo)   # < 3 * 2^61 — no wrap
+    s = _red61(_red61(s))
+    return np.where(s >= _M61, s - _M61, s)
+
+
+def perm_hash61(x: np.ndarray, a: np.ndarray, b: np.ndarray) -> np.ndarray:
+    """(a * (x mod p) + b) mod p, vectorized + broadcastable."""
+    x = np.asarray(x, dtype=np.uint64)
+    xm = np.where(x >= _M61, _red61(x), x)
+    xm = np.where(xm >= _M61, xm - _M61, xm)
+    t = modmul61(a, xm) + np.asarray(b, dtype=np.uint64)  # < 2^62
+    t = _red61(t)
+    return np.where(t >= _M61, t - _M61, t)
+
+
+def minhash_signature(shingles: np.ndarray, a: np.ndarray, b: np.ndarray) -> np.ndarray:
+    """MinHash signature of one shingle-hash set: sig[j] = min_x perm_j(x).
+
+    Empty shingle set -> all MERSENNE_P (sentinel that never collides with
+    a real min, so empty docs never pair with anything).
+    """
+    p = len(a)
+    if len(shingles) == 0:
+        return np.full(p, MERSENNE_P, dtype=np.uint64)
+    # (perms, n) broadcast matrix op — one matrix per doc, no Python loop.
+    m = perm_hash61(shingles[None, :], a[:, None], b[:, None])
+    return m.min(axis=1)
+
+
+def minhash_signatures_segmented(
+    all_shingles: np.ndarray, lengths: np.ndarray, a: np.ndarray, b: np.ndarray
+) -> np.ndarray:
+    """Batch MinHash: signatures for many docs at once.
+
+    ``all_shingles`` is the concatenation of every doc's shingle hashes,
+    ``lengths[i]`` the count for doc i. One (perms × N_total) matrix op,
+    then a per-permutation segmented min via ``np.minimum.reduceat`` —
+    this is the Arrow-batch hot path (SURVEY.md §4: "MinHash as one
+    matrix-min per Arrow batch").
+    """
+    n_docs = len(lengths)
+    p = len(a)
+    out = np.full((n_docs, p), MERSENNE_P, dtype=np.uint64)
+    if len(all_shingles) == 0:
+        return out
+    nonzero = lengths > 0
+    offsets = np.zeros(n_docs, dtype=np.int64)
+    np.cumsum(lengths[:-1], out=offsets[1:]) if n_docs > 1 else None
+    m = perm_hash61(all_shingles[None, :], a[:, None], b[:, None])  # (p, N)
+    starts = offsets[nonzero]
+    seg = np.minimum.reduceat(m, starts, axis=1)  # (p, n_nonzero) — but only
+    # reduceat segments end at next start; last segment runs to N. Correct
+    # because all_shingles contains ONLY nonzero-length docs' hashes in order.
+    out[nonzero] = seg.T
+    return out
+
+
+def band_hashes(sig: np.ndarray, bands: int, rows: int) -> np.ndarray:
+    """Hash each r-row band of a (docs × perms) signature matrix.
+
+    Returns (docs × bands) uint64. Polynomial combine + splitmix64 — same
+    scheme as shingles so band hashes are well-mixed bucket keys.
+    """
+    n_docs, perms = sig.shape
+    assert bands * rows == perms
+    grouped = sig.reshape(n_docs, bands, rows)
+    acc = np.zeros((n_docs, bands), dtype=np.uint64)
+    for j in range(rows):
+        acc = acc * SHINGLE_MULT + grouped[:, :, j]
+    # mix band index in so identical row-chunks in different bands differ
+    acc += splitmix64(np.arange(bands, dtype=np.uint64))[None, :]
+    return splitmix64(acc)
+
+
+def simhash64(shingles: np.ndarray, weights: np.ndarray) -> int:
+    """64-bit SimHash of one doc's (unique shingle hashes, weights).
+
+    Bit votes: v[b] = Σ_i w_i * (2*bit_b(h_i) - 1); fingerprint bit b = 1
+    iff v[b] > 0. Vectorized (n × 64) matrix.
+    """
+    if len(shingles) == 0:
+        return 0
+    bits = (shingles[:, None] >> np.arange(64, dtype=np.uint64)[None, :]) & _U64(1)
+    votes = (weights[:, None] * (2.0 * bits.astype(np.float64) - 1.0)).sum(axis=0)
+    fp = np.uint64(0)
+    for bpos in np.nonzero(votes > 0)[0]:
+        fp |= _U64(1) << _U64(int(bpos))
+    return int(fp)
+
+
+def simhash_batch(
+    all_shingles: np.ndarray,
+    all_weights: np.ndarray,
+    lengths: np.ndarray,
+) -> np.ndarray:
+    """Batch SimHash via segmented sums — one (N × 64) matrix per batch."""
+    n_docs = len(lengths)
+    out = np.zeros(n_docs, dtype=np.uint64)
+    if len(all_shingles) == 0:
+        return out
+    nonzero = lengths > 0
+    offsets = np.zeros(n_docs, dtype=np.int64)
+    if n_docs > 1:
+        np.cumsum(lengths[:-1], out=offsets[1:])
+    bits = (all_shingles[:, None] >> np.arange(64, dtype=np.uint64)[None, :]) & _U64(1)
+    signed = all_weights[:, None] * (2.0 * bits.astype(np.float64) - 1.0)  # (N, 64)
+    votes = np.add.reduceat(signed, offsets[nonzero], axis=0)  # (n_nonzero, 64)
+    pos = votes > 0  # (n_nonzero, 64)
+    weights_pow2 = np.left_shift(np.uint64(1), np.arange(64, dtype=np.uint64))
+    fps = (pos.astype(np.uint64) * weights_pow2[None, :]).sum(axis=1, dtype=np.uint64)
+    out[nonzero] = fps
+    return out
+
+
+# ---------------------------------------------------------------------------
+# rolling character-gram hashes + winnowing (substring tier, SURVEY §7 M6)
+# ---------------------------------------------------------------------------
+
+def rolling_gram_hashes(data: bytes, gram: int) -> np.ndarray:
+    """Hash every ``gram``-byte window of ``data`` (vectorized prefix trick).
+
+    Polynomial hash H[i] = Σ_{j<g} b[i+j] * C^(g-1-j) (uint64 wrap) computed
+    for ALL windows at once: H[i] = (P[i+g] - P[i]) * Cinv^i where
+    P[i] = Σ_{j<i} b[j] * C^(g-1+i-j)… implemented with the standard
+    inverse-power normalization (C odd ⇒ invertible mod 2^64).
+    """
+    b = np.frombuffer(data, dtype=np.uint8).astype(np.uint64)
+    n = len(b)
+    if n < gram:
+        return np.empty(0, dtype=np.uint64)
+    C = SHINGLE_MULT
+    c_inv = _U64(pow(int(C), -1, 1 << 64))
+    # powers C^0..C^{n-1} and inverse powers
+    pows = np.empty(n, dtype=np.uint64)
+    pows[0] = _U64(1)
+    np.multiply.accumulate(np.full(n - 1, C, dtype=np.uint64), out=pows[1:]) if n > 1 else None
+    # weighted prefix sums: P[i] = Σ_{j<i} b[j] * C^{-j}  (times nothing)
+    w = b * np.concatenate(([_U64(1)], np.multiply.accumulate(np.full(n - 1, c_inv, dtype=np.uint64))))
+    P = np.zeros(n + 1, dtype=np.uint64)
+    np.cumsum(w, out=P[1:])
+    diff = P[gram:] - P[:-gram]            # Σ_{j=i..i+g-1} b[j] C^{-j}
+    # multiply by C^{i+g-1} to normalize window i to Σ b[i+j] C^{g-1-j}
+    norm = pows[gram - 1] * np.concatenate(([_U64(1)], np.multiply.accumulate(np.full(n - gram, C, dtype=np.uint64)))) if n - gram + 1 > 1 else pows[gram - 1 : gram]
+    return splitmix64(diff * norm)
+
+
+def winnow(hashes: np.ndarray, window: int) -> np.ndarray:
+    """Winnowing fingerprint selection (Schleimer/Wilkerson/Aiken, SIGMOD'03
+    — public algorithm): the min hash of every ``window``-length window of
+    the gram-hash sequence; dedup consecutive picks. Guarantee: two docs
+    sharing any substring of length >= gram + window - 1 share a selected
+    fingerprint.
+    """
+    n = len(hashes)
+    if n == 0:
+        return np.empty(0, dtype=np.uint64)
+    if n <= window:
+        return np.unique(hashes.min(keepdims=True))
+    sw = np.lib.stride_tricks.sliding_window_view(hashes, window)
+    mins = sw.min(axis=1)
+    return np.unique(mins)
