@@ -1,0 +1,184 @@
+"""LSH candidate generation + pair verification (SURVEY.md §7 M4).
+
+The reference's implicit J1 "self-join within a size group"
+(``finddup.py:199-236``) generalizes to the LSH band self-join; the
+reference's cardinality-dependent strategy switch (P4,
+``MAX_FILES_OPEN``, ``finddup.py:434-467``) and measured-statistics design
+(P5, ``finddup.py:630-664``) generalize to explicit hot-bucket skew
+handling:
+
+- buckets with |members| <= ``cfg.hot_bucket_cap``: plain all-pairs
+  equi self-join on (band_id, band_hash) — the exact candidate set;
+- hot buckets (boilerplate pages, giant exact-dup groups): **salted** —
+  the bucket key is extended with ``salt = xxhash64(doc_id) % s`` to
+  bound partition width, each member pairs with its shard minimum
+  (star), shard minima pair all-pairs within the bucket (<= s²/2 per
+  bucket). O(n) edges per hot bucket instead of O(n²), connectivity
+  preserved for true clusters; the policy difference vs the exhaustive
+  oracle is logged, never silent.
+
+Verification is pure JVM: exact shingle Jaccard via
+``size(array_intersect)/size(array_union)`` on the signature table's
+sorted-unique shingle arrays — no Python at verify time.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+from ..config import DEFAULT_CONFIG, DedupConfig
+
+
+def bucket_histogram(bands: DataFrame) -> DataFrame:
+    """Skew diagnostics (the engine's own P5 pre-pass): bucket-size
+    frequency table, the analog of ``get_frequencies``
+    (``finddup.py:630-664``)."""
+    sizes = bands.groupBy("band_id", "band_hash").agg(F.count(F.lit(1)).alias("bucket_size"))
+    return sizes.groupBy("bucket_size").agg(F.count(F.lit(1)).alias("n_buckets")).orderBy("bucket_size")
+
+
+def candidate_pairs(
+    bands: DataFrame,
+    cfg: DedupConfig = DEFAULT_CONFIG,
+) -> tuple[DataFrame, DataFrame]:
+    """(pairs, stats) — pairs(src, dst) with src < dst, distinct across
+    bands; stats is a tiny DataFrame of hot-bucket truncation metrics for
+    the lineage sink (no silent caps)."""
+    sizes = (
+        bands.groupBy("band_id", "band_hash")
+        .agg(F.count(F.lit(1)).alias("bucket_size"))
+    )
+    keyed = bands.join(sizes, ["band_id", "band_hash"])
+
+    dup_buckets = keyed.filter(F.col("bucket_size") >= 2)
+    small = dup_buckets.filter(F.col("bucket_size") <= cfg.hot_bucket_cap)
+    hot = dup_buckets.filter(F.col("bucket_size") > cfg.hot_bucket_cap)
+
+    # ---- small buckets: exact all-pairs self-join (J1) ----
+    a = small.select("band_id", "band_hash", F.col("doc_id").alias("src"))
+    b = small.select("band_id", "band_hash", F.col("doc_id").alias("dst"))
+    pairs_small = (
+        a.join(b, ["band_id", "band_hash"])
+        .filter(F.col("src") < F.col("dst"))
+        .select("src", "dst")
+    )
+
+    # ---- hot buckets: salted star + representative clique (P5) ----
+    salted = hot.withColumn(
+        "salt", F.pmod(F.xxhash64("doc_id"), F.lit(cfg.salt_shards))
+    )
+    shard_min = salted.groupBy("band_id", "band_hash", "salt").agg(
+        F.min("doc_id").alias("rep")
+    )
+    star = (
+        salted.join(shard_min, ["band_id", "band_hash", "salt"])
+        .filter(F.col("doc_id") != F.col("rep"))
+        .select(F.col("rep").alias("src"), F.col("doc_id").alias("dst"))
+    )
+    ra = shard_min.select("band_id", "band_hash", F.col("rep").alias("src"))
+    rb = shard_min.select("band_id", "band_hash", F.col("rep").alias("dst"))
+    rep_clique = (
+        ra.join(rb, ["band_id", "band_hash"])
+        .filter(F.col("src") < F.col("dst"))
+        .select("src", "dst")
+    )
+
+    pairs = (
+        pairs_small.unionByName(star)
+        .unionByName(rep_clique)
+        .select(
+            F.least("src", "dst").alias("src"),
+            F.greatest("src", "dst").alias("dst"),
+        )
+        .distinct()
+    )
+
+    stats = (
+        sizes.agg(
+            F.count(F.lit(1)).alias("n_buckets"),
+            F.sum(F.when(F.col("bucket_size") > cfg.hot_bucket_cap, 1).otherwise(0)).alias("hot_buckets"),
+            F.max("bucket_size").alias("max_bucket"),
+            F.sum(
+                F.when(
+                    F.col("bucket_size") > cfg.hot_bucket_cap,
+                    # pairs skipped vs exhaustive: C(n,2) - (n-1) - C(s,2)-ish
+                    (F.col("bucket_size") * (F.col("bucket_size") - 1) / 2
+                     - (F.col("bucket_size") - 1)),
+                ).otherwise(0)
+            ).cast("long").alias("pairs_truncated_upper_bound"),
+        )
+    )
+    return pairs, stats
+
+
+def verify_pairs(
+    pairs: DataFrame,
+    signatures: DataFrame,
+    cfg: DedupConfig = DEFAULT_CONFIG,
+    method: str = "minhash",
+) -> DataFrame:
+    """edges(src, dst, sim, method): exact shingle Jaccard >= threshold.
+
+    Two hash-joins against the (doc_id, shingles) projection; the Jaccard
+    itself is whole-stage-codegen JVM (array_intersect/array_union on
+    sorted-unique arrays — the generalization of the reference's
+    chunk-equality check, finddup.py:225, to set similarity).
+    """
+    sh = signatures.select("doc_id", "shingles")
+    withs = (
+        pairs.join(sh.withColumnRenamed("doc_id", "src").withColumnRenamed("shingles", "sh_src"), "src")
+        .join(sh.withColumnRenamed("doc_id", "dst").withColumnRenamed("shingles", "sh_dst"), "dst")
+    )
+    inter = F.size(F.array_intersect("sh_src", "sh_dst"))
+    union = F.size(F.array_union("sh_src", "sh_dst"))
+    sim = F.when(union > 0, inter / union).otherwise(F.lit(1.0))
+    return (
+        withs.withColumn("sim", sim)
+        .filter(F.col("sim") >= cfg.verify_jaccard)
+        .select("src", "dst", "sim", F.lit(method).alias("method"))
+    )
+
+
+def simhash_candidate_pairs(
+    signatures: DataFrame,
+    hamming_radius: int = 3,
+    n_chunks: int = 8,
+) -> DataFrame:
+    """SimHash near-dup candidates by pivoted exact-match on bit-chunks.
+
+    Pigeonhole: two 64-bit fingerprints within Hamming distance r < n_chunks
+    share at least one of n_chunks 8-bit chunks... (r <= n_chunks - 1
+    guarantees an equal chunk). Exact-match join per chunk index — the
+    multi-index strategy from SURVEY.md §2.3 (no theta join needed).
+    Candidates still require verification (verify_pairs or hamming check).
+    """
+    assert hamming_radius < n_chunks
+    width = 64 // n_chunks
+    chunks = signatures.select(
+        "doc_id",
+        "simhash",
+        F.explode(
+            F.array(*[
+                F.struct(
+                    F.lit(i).alias("chunk_id"),
+                    F.shiftrightunsigned(F.col("simhash"), i * width)
+                    .bitwiseAND(F.lit((1 << width) - 1))
+                    .alias("chunk_val"),
+                )
+                for i in range(n_chunks)
+            ])
+        ).alias("c"),
+    ).select("doc_id", "simhash", F.col("c.chunk_id"), F.col("c.chunk_val"))
+
+    a = chunks.select("chunk_id", "chunk_val", F.col("doc_id").alias("src"), F.col("simhash").alias("sim_src"))
+    b = chunks.select("chunk_id", "chunk_val", F.col("doc_id").alias("dst"), F.col("simhash").alias("sim_dst"))
+    cand = (
+        a.join(b, ["chunk_id", "chunk_val"])
+        .filter(F.col("src") < F.col("dst"))
+        .select("src", "dst", "sim_src", "sim_dst")
+        .distinct()
+    )
+    ham = F.bit_count(F.col("sim_src").bitwiseXOR(F.col("sim_dst")))
+    return cand.filter(ham <= hamming_radius).select("src", "dst", ham.alias("hamming"))

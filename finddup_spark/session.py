@@ -24,6 +24,15 @@ def get_spark(
 ) -> SparkSession:
     cores = cores or int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
     shuffle_partitions = shuffle_partitions or max(cores, 8)
+    # Python workers import finddup_spark by name (cloudpickled pandas
+    # UDFs); make the package importable regardless of driver cwd. On a
+    # real cluster this is `spark-submit --py-files dist/finddup_spark.zip`.
+    pkg_root = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    existing = os.environ.get("PYTHONPATH", "")
+    if pkg_root not in existing.split(os.pathsep):
+        os.environ["PYTHONPATH"] = (
+            pkg_root + (os.pathsep + existing if existing else "")
+        )
     b = (
         SparkSession.builder.master(f"local[{cores}]")
         .appName(app_name)

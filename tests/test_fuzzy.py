@@ -1,0 +1,156 @@
+"""Fuzzy tier (M3-M5) vs the mirror oracle: identical signatures,
+candidates, edges, clusters; hot-bucket salting preserves connectivity;
+SimHash chunk-index candidates."""
+
+from collections import defaultdict
+from dataclasses import replace
+
+import numpy as np
+import pandas as pd
+import pytest
+from pyspark.sql import functions as F
+
+from finddup_spark.config import DEFAULT_CONFIG
+from finddup_spark.functions.signatures import compute_signatures, explode_bands
+from finddup_spark.operators.cc import connected_components
+from finddup_spark.operators.lsh import (
+    bucket_histogram,
+    candidate_pairs,
+    simhash_candidate_pairs,
+    verify_pairs,
+)
+from finddup_spark.oracle import run_oracle
+from finddup_spark.sources.tables import load_pages
+
+
+def _cluster_pairs(assign: dict[int, int]) -> set[tuple[int, int]]:
+    g = defaultdict(list)
+    for d, c in assign.items():
+        g[c].append(d)
+    out = set()
+    for mem in g.values():
+        mem.sort()
+        out.update((mem[i], mem[j]) for i in range(len(mem)) for j in range(i + 1, len(mem)))
+    return out
+
+
+@pytest.fixture(scope="module")
+def fuzzy(spark, tiny_corpus):
+    pages = load_pages(spark, tiny_corpus[0])
+    sigs = compute_signatures(pages).cache()
+    bands = explode_bands(sigs)
+    pairs, stats = candidate_pairs(bands)
+    edges = verify_pairs(pairs, sigs).cache()
+    clusters = connected_components(
+        edges, vertices=pages.filter("text is not null").select("doc_id")
+    ).toPandas()
+    docs = pages.select("doc_id", "text").toPandas()
+    oracle = run_oracle(docs)
+    return sigs, pairs.toPandas(), edges.toPandas(), clusters, oracle
+
+
+def test_signatures_match_oracle_exactly(fuzzy):
+    sigs, _, _, _, oracle = fuzzy
+    spdf = sigs.toPandas()
+    assert len(spdf) == len(oracle.signatures)
+    for _, row in spdf.iterrows():
+        did = int(row.doc_id)
+        mh = np.array(row.minhash, dtype=np.int64).astype(np.uint64)
+        assert (mh == oracle.signatures[did]).all()
+        sh = set(int(np.uint64(np.int64(x))) for x in row.shingles)
+        assert sh == oracle.shingle_sets[did]
+        assert int(np.int64(row.simhash).astype(np.uint64)) == oracle.simhash[did]
+
+
+def test_candidates_and_edges_match_oracle(fuzzy):
+    _, pairs, edges, _, oracle = fuzzy
+    sp = set(map(tuple, pairs[["src", "dst"]].values.tolist()))
+    assert sp == oracle.candidate_pairs
+    se = set(map(tuple, edges[["src", "dst"]].values.tolist()))
+    assert se == oracle.edges
+    # verified similarity values agree with exact set Jaccard
+    for _, r in edges.iterrows():
+        assert abs(r.sim - oracle.jaccard[(r.src, r.dst)]) < 1e-9
+
+
+def test_cluster_assignments_match_oracle(fuzzy):
+    """North rule: dup-pair recall >= 0.99 — measured: identical (1.0)."""
+    _, _, _, clusters, oracle = fuzzy
+    assign = dict(zip(clusters.doc_id, clusters.cluster_id))
+    assert assign == oracle.clusters
+    op, sp = _cluster_pairs(oracle.clusters), _cluster_pairs(assign)
+    recall = len(op & sp) / max(len(op), 1)
+    assert recall >= 0.99
+
+
+def test_cluster_id_is_min_member(fuzzy):
+    _, _, _, clusters, _ = fuzzy
+    m = clusters.groupby("cluster_id")["doc_id"].min()
+    assert (m.index == m.values).all()
+
+
+def test_hot_bucket_salting_preserves_connectivity(spark, tiny_corpus):
+    """Force every dup bucket through the salted path (cap=2) — true
+    clusters must stay connected; truncation must be reported."""
+    cfg = replace(DEFAULT_CONFIG, hot_bucket_cap=2, salt_shards=4)
+    pages = load_pages(spark, tiny_corpus[0])
+    sigs = compute_signatures(pages, cfg).cache()
+    pairs, stats = candidate_pairs(explode_bands(sigs, cfg), cfg)
+    edges = verify_pairs(pairs, sigs, cfg)
+    clusters = connected_components(
+        edges, vertices=pages.filter("text is not null").select("doc_id")
+    ).toPandas()
+    st = stats.toPandas().iloc[0]
+    assert st.hot_buckets > 0
+    assert st.pairs_truncated_upper_bound > 0  # reported, not silent
+
+    docs = pages.select("doc_id", "text").toPandas()
+    oracle = run_oracle(docs, cfg)
+    assign = dict(zip(clusters.doc_id, clusters.cluster_id))
+    # exact-dup groups (J=1 between every pair) must remain fully
+    # connected even though the candidate set is truncated
+    texts = docs.dropna().groupby("text")["doc_id"].apply(list)
+    for mem in texts[texts.str.len() > 1]:
+        assert len({assign[d] for d in mem}) == 1
+    # overall cluster-pair recall stays high (star edges verify at J=1
+    # for exact groups; near-dup clusters are far below the cap)
+    op, sp = _cluster_pairs(oracle.clusters), _cluster_pairs(assign)
+    assert len(op & sp) / max(len(op), 1) >= 0.99
+
+
+def test_bucket_histogram(spark, tiny_corpus):
+    pages = load_pages(spark, tiny_corpus[0])
+    sigs = compute_signatures(pages)
+    hist = bucket_histogram(explode_bands(sigs)).toPandas()
+    assert (hist.bucket_size >= 1).all()
+    assert hist.n_buckets.sum() > 0
+
+
+def test_simhash_candidates_find_exact_dups(spark, tiny_corpus):
+    pages = load_pages(spark, tiny_corpus[0])
+    sigs = compute_signatures(pages).cache()
+    cand = simhash_candidate_pairs(sigs, hamming_radius=3).toPandas()
+    # every exact-dup pair has identical simhash → hamming 0 → present
+    texts = pages.select("doc_id", "text").toPandas().dropna()
+    got = set(map(tuple, cand[["src", "dst"]].values.tolist()))
+    for _, grp in texts.groupby("text"):
+        ids = sorted(grp.doc_id)
+        for i in range(len(ids)):
+            for j in range(i + 1, len(ids)):
+                assert (ids[i], ids[j]) in got
+    assert (cand.hamming <= 3).all()
+
+
+def test_cc_handles_empty_edges(spark):
+    edges = spark.createDataFrame([], "src long, dst long")
+    verts = spark.range(5).withColumnRenamed("id", "doc_id")
+    out = connected_components(edges, vertices=verts).toPandas()
+    assert (out.doc_id == out.cluster_id).all() and len(out) == 5
+
+
+def test_cc_chain_converges(spark):
+    """Path graph 0-1-2-...-9 → single component labeled 0."""
+    rows = [(i, i + 1) for i in range(9)]
+    edges = spark.createDataFrame(rows, "src long, dst long")
+    out = connected_components(edges).toPandas()
+    assert set(out.cluster_id) == {0} and len(out) == 10
