@@ -33,7 +33,19 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-from ..config import DEFAULT_CONFIG, DedupConfig
+from ..config import DEFAULT_CONFIG, IGNORE_BASENAMES, DedupConfig
+
+
+def split_ignored(pages: DataFrame, url_col: str = "url") -> tuple[DataFrame, DataFrame]:
+    """F1 ignore-name filter (``finddup.py:170-174, 681-687``): rows whose
+    url basename is an ignored name are excluded from ALL results — file
+    clusters, uniques, and dir identity (``finddup.py:862-871``) — and
+    reported separately (the report's "Ignored Files" section).
+
+    Returns (kept, ignored)."""
+    basename = F.element_at(F.split(url_col, "/"), -1)
+    pred = basename.isin(list(IGNORE_BASENAMES))
+    return pages.filter(~pred), pages.filter(pred)
 
 
 def valid_pages(pages: DataFrame, text_col: str = "text") -> DataFrame:

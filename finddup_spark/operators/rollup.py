@@ -1,0 +1,171 @@
+"""Site-subtree duplicate rollup (SURVEY.md §7 M2) — the dir tier.
+
+Reference semantics (``recurse_subtree``, ``finddup.py:571-627`` and
+``analyze_dirs``, ``finddup.py:1049-1116``):
+
+- a directory's identity is the **sorted multiset** of its children's
+  identity strings (names ignored — renamed duplicates still match,
+  ``:621-623``); duplicates kept (two copies of a file ≠ one copy);
+- a ``-1`` (unprocessed/error) child contaminates every ancestor
+  (``:617-620``) → "unknown" dirs (``:1093-1097``);
+- ignored basenames are excluded from identity AND from size rollup
+  (``:170-174`` blocks=-1, ``:862-871`` skipped before filetree insert);
+- sizes sum bottom-up (``:611-615``).
+
+Web analog: directory = url path prefix ("host/seg1/…"); file id =
+exact-tier cluster_id. The recursion becomes a **driver loop over depth**
+(bounded, ~<20 for real urls): at each depth one groupBy computes every
+dir signature at that level from its children's rows — no trees, no
+recursion, each level a single shuffle on the prefix key. Signatures are
+sha256 of the comma-joined sorted child signatures, so a level's output
+is constant-width regardless of fan-in.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..config import IGNORE_BASENAMES
+
+UNKNOWN_SIG = "-1"
+
+
+def page_leaf_rows(
+    pages: DataFrame,
+    clusters: DataFrame,
+    text_col: str = "text",
+) -> DataFrame:
+    """Leaf (file-level) child rows: (parent, child_sig, n_bytes).
+
+    - url → path "host/seg…/leaf" (scheme stripped);
+    - child_sig = cluster_id as string for valid pages, '-1' for error
+      rows (extraction failures — the unproc analog);
+    - ignored basenames (F1) dropped entirely.
+    """
+    path = F.regexp_replace("url", r"^[a-z]+://", "")
+    withp = pages.select(
+        "doc_id",
+        path.alias("path"),
+        F.octet_length(text_col).alias("n_bytes"),
+        F.col(text_col).isNull().alias("is_error"),
+    ).withColumn(
+        "basename", F.element_at(F.split("path", "/"), -1)
+    ).withColumn(
+        "parent",
+        F.expr("array_join(slice(split(path, '/'), 1, size(split(path, '/')) - 1), '/')"),
+    )
+    kept = withp.filter(~F.col("basename").isin(list(IGNORE_BASENAMES)))
+    leaf = kept.join(clusters.select("doc_id", "cluster_id"), "doc_id", "left")
+    return leaf.select(
+        "parent",
+        F.when(F.col("is_error"), F.lit(UNKNOWN_SIG))
+        .otherwise(F.col("cluster_id").cast("string"))
+        .alias("child_sig"),
+        F.when(F.col("is_error"), F.lit(0)).otherwise(F.coalesce("n_bytes", F.lit(0))).alias("n_bytes"),
+    )
+
+
+def _level_agg(children: DataFrame) -> DataFrame:
+    """One rollup level: children rows (parent, child_sig, n_bytes) →
+    dir rows (path, dir_sig, n_bytes, n_children)."""
+    has_unknown = F.max((F.col("child_sig") == UNKNOWN_SIG).cast("int")) == 1
+    sig = F.sha2(
+        F.concat_ws(",", F.sort_array(F.collect_list("child_sig"))), 256
+    )
+    return (
+        children.groupBy(F.col("parent").alias("path"))
+        .agg(
+            F.when(has_unknown, F.lit(UNKNOWN_SIG)).otherwise(sig).alias("dir_sig"),
+            F.sum("n_bytes").alias("n_bytes"),
+            F.count(F.lit(1)).alias("n_children"),
+        )
+    )
+
+
+def rollup_dirs(
+    spark: SparkSession,
+    leaf_rows: DataFrame,
+    checkpoint: bool = True,
+) -> DataFrame:
+    """dirs(path, depth, dir_sig, n_bytes, n_children) for every prefix.
+
+    Driver loop from the deepest prefix level up to the host level (A4).
+    Each level emits its dirs AND feeds them as child rows into the next
+    level up. ``localCheckpoint`` per level keeps the plan flat (the loop
+    is the reference's recursion inverted — bottom-up instead of
+    post-order DFS).
+    """
+    depth_of = F.size(F.split("parent", "/"))
+    leaves = leaf_rows.withColumn("depth", depth_of)
+    max_depth = leaves.agg(F.max("depth")).collect()[0][0]
+    if max_depth is None:
+        return spark.createDataFrame(
+            [], "path string, depth int, dir_sig string, n_bytes long, n_children long"
+        )
+
+    all_dirs = []
+    pending = leaves  # child rows awaiting aggregation, tagged with depth
+    for d in range(int(max_depth), 0, -1):
+        level_children = pending.filter(F.col("depth") == d).select(
+            "parent", "child_sig", "n_bytes"
+        )
+        dirs_d = _level_agg(level_children).withColumn("depth", F.lit(d))
+        if checkpoint:
+            dirs_d = dirs_d.localCheckpoint(eager=True)
+        all_dirs.append(dirs_d)
+        if d > 1:
+            # a dir becomes a child row of its own parent one level up
+            parent_rows = dirs_d.select(
+                F.expr(
+                    "array_join(slice(split(path, '/'), 1, size(split(path, '/')) - 1), '/')"
+                ).alias("parent"),
+                F.col("dir_sig").alias("child_sig"),
+                "n_bytes",
+            ).withColumn("depth", F.lit(d - 1))
+            pending = pending.unionByName(parent_rows)
+
+    out = all_dirs[0]
+    for dfr in all_dirs[1:]:
+        out = out.unionByName(dfr)
+    return out.select("path", "depth", "dir_sig", "n_bytes", "n_children")
+
+
+def analyze_dirs(dirs: DataFrame) -> DataFrame:
+    """A5 split (``finddup.py:1049-1116``): classify every dir as
+    dup / unique / unknown and assign dir-cluster ids (min path per sig).
+
+    Output: (path, depth, dir_sig, n_bytes, n_children, status,
+    dir_cluster) where status ∈ {dup, unique, unknown}.
+    """
+    known = dirs.filter(F.col("dir_sig") != UNKNOWN_SIG)
+    groups = known.groupBy("dir_sig").agg(
+        F.count(F.lit(1)).alias("n_dirs"),
+        F.min("path").alias("dir_cluster"),
+    )
+    classified = known.join(groups, "dir_sig").select(
+        "path", "depth", "dir_sig", "n_bytes", "n_children",
+        F.when(F.col("n_dirs") > 1, F.lit("dup")).otherwise(F.lit("unique")).alias("status"),
+        "dir_cluster",
+    )
+    unknown = dirs.filter(F.col("dir_sig") == UNKNOWN_SIG).select(
+        "path", "depth", "dir_sig", "n_bytes", "n_children",
+        F.lit("unknown").alias("status"),
+        F.col("path").alias("dir_cluster"),
+    )
+    return classified.unionByName(unknown)
+
+
+def dup_dirs_report(analyzed: DataFrame) -> DataFrame:
+    """O1 ordering for dirs: dup groups by descending size, members sorted,
+    trailing '/' like the reference (``finddup.py:1103-1108``)."""
+    return (
+        analyzed.filter(F.col("status") == "dup")
+        .groupBy("dir_sig")
+        .agg(
+            F.max("n_bytes").alias("n_bytes"),
+            F.count(F.lit(1)).alias("n_members"),
+            F.sort_array(F.collect_list(F.concat("path", F.lit("/")))).alias("members"),
+        )
+        .orderBy(F.desc("n_bytes"), F.asc("dir_sig"))
+    )
