@@ -202,18 +202,25 @@ def generate_pages(
         )); pid += 1
 
     # ------- long-verbatim pairs (substring tier truth) -------
+    # the span must be byte-contiguous in the final text, so it is emitted
+    # as its own paragraph (paragraph re-chunking would otherwise move the
+    # "\n\n" breaks to different offsets in the two docs)
     for _ in range(n_substr // 2):
-        span = _zipf_tokens(rng, vocabs["en"], 120)  # ≈ 120*8 chars ≥ 512
+        span_para = " ".join(_zipf_tokens(rng, vocabs["en"], 120))  # ≥ 512 chars
         c = new_cluster()
         for side in range(2):
             filler = _zipf_tokens(rng, vocabs["en"], int(rng.integers(200, 400)))
-            cut = int(rng.integers(0, len(filler)))
-            toks = filler[:cut] + span + filler[cut:]
+            cut = (int(rng.integers(1, len(filler) // 60)) * 60) if len(filler) >= 120 else 60
+            toks = filler[:cut] + span_para.split() + filler[cut:]
             host = hosts[int(rng.integers(0, len(hosts)))]
-            pages.append(_Page(
+            p = _Page(
                 mk_url(host, rng, f"sub{pid:06d}.html"),
                 toks, "en", "substring", c, 0.0,
-            )); pid += 1
+            )
+            p.extra["text_override"] = (
+                _text_of(filler[:cut]) + "\n\n" + span_para + "\n\n" + _text_of(filler[cut:])
+            )
+            pages.append(p); pid += 1
 
     # ------- site mirrors (dir-dup analog) -------
     for m in range(n_mirror_hosts):
@@ -271,7 +278,7 @@ def generate_pages(
     truth = []
     for doc_id, k in enumerate(order):
         p = pages[int(k)]
-        text = _text_of(p.tokens)
+        text = p.extra.get("text_override") or _text_of(p.tokens)
         title = " ".join(p.tokens[:4])
         html = render_html(text, title)
         if p.error:

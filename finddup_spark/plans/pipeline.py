@@ -1,0 +1,256 @@
+"""Staged end-to-end dedup pipeline with checkpoint/resume + lineage (M7).
+
+The reference's ``analyze()`` (``finddup.py:772-808``) runs five phases
+in one process with stderr progress (``finddup.py:50-87, 880-884``) and a
+post-hoc change check. Here every phase writes a parquet (Iceberg in
+production) stage table with a success marker; a re-run **skips any stage
+whose output already exists** (resume-without-recompute, north rule) and
+every stage appends per-partition metrics rows to the ``lineage`` table —
+the generalization of ``unproc_files`` + the progress channel.
+
+Scale design decisions (explicit, per SURVEY.md §4):
+
+- **Exact-first representative dedup**: fuzzy signatures are computed
+  only for exact-cluster representatives — byte-identical docs have
+  identical signatures, so fuzzy work shrinks by the exact-dup ratio
+  with zero recall loss (the reference's P1 "cheapest key first" at
+  pipeline granularity).
+- Edges from all tiers (exact / minhash / substring) union into one
+  graph; CC resolves final clusters; per-doc assignment composes
+  doc → exact rep → fuzzy cluster with two broadcast-friendly joins.
+- Stage outputs are repartitioned by their join key before write so the
+  next stage starts co-located (band-prefix partitioning analog).
+"""
+
+from __future__ import annotations
+
+import os
+import time
+from dataclasses import dataclass, field
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..config import DEFAULT_CONFIG, DedupConfig
+from ..functions.signatures import compute_signatures, explode_bands
+from ..operators.cc import connected_components
+from ..operators.exact import exact_clusters, split_ignored, valid_pages
+from ..operators.lsh import candidate_pairs, verify_pairs
+from ..operators.rollup import analyze_dirs, page_leaf_rows, rollup_dirs
+from ..operators.substring import (
+    fingerprints,
+    substring_candidates,
+    verify_substring_pairs,
+)
+
+LINEAGE_SCHEMA = (
+    "stage string, partition_id int, rows long, wall_ms long, status string"
+)
+
+
+#: canonical stage order — used by invalidate() to cascade downstream
+STAGE_ORDER = [
+    "exact_clusters", "errors", "signatures", "bands", "edges", "clusters", "dirs"
+]
+
+
+def invalidate(out_dir: str, stage: str) -> list[str]:
+    """Remove the success marker of ``stage`` AND every downstream stage,
+    so a re-run recomputes them (use after a config change; plain crash
+    recovery needs nothing — stages are deterministic)."""
+    removed = []
+    for s in STAGE_ORDER[STAGE_ORDER.index(stage):]:
+        marker = os.path.join(out_dir, s, "_SUCCESS")
+        if os.path.exists(marker):
+            os.remove(marker)
+            removed.append(s)
+    return removed
+
+
+@dataclass
+class StageResult:
+    name: str
+    rows: int
+    wall_ms: int
+    skipped: bool
+
+
+@dataclass
+class PipelineRun:
+    out_dir: str
+    stages: list[StageResult] = field(default_factory=list)
+
+    def table(self, spark: SparkSession, name: str) -> DataFrame:
+        return spark.read.parquet(os.path.join(self.out_dir, name))
+
+
+class DedupPipeline:
+    """Orchestrates: signatures → bands → edges → clusters → dirs → report."""
+
+    def __init__(
+        self,
+        spark: SparkSession,
+        out_dir: str,
+        cfg: DedupConfig = DEFAULT_CONFIG,
+        enable_substring: bool = True,
+        resume: bool = True,
+    ) -> None:
+        self.spark = spark
+        self.out_dir = out_dir
+        self.cfg = cfg
+        self.enable_substring = enable_substring
+        self.resume = resume
+        os.makedirs(out_dir, exist_ok=True)
+
+    # -- stage plumbing ------------------------------------------------
+
+    def _path(self, stage: str) -> str:
+        return os.path.join(self.out_dir, stage)
+
+    def _done(self, stage: str) -> bool:
+        return os.path.exists(os.path.join(self._path(stage), "_SUCCESS"))
+
+    def _write_stage(
+        self, run: PipelineRun, stage: str, df_fn, repartition_on: str | None = None
+    ) -> DataFrame:
+        """Compute-or-skip one stage; append lineage metrics."""
+        t0 = time.monotonic()
+        if self.resume and self._done(stage):
+            out = self.spark.read.parquet(self._path(stage))
+            run.stages.append(StageResult(stage, -1, 0, skipped=True))
+            return out
+        df = df_fn()
+        if repartition_on is not None:
+            df = df.repartition(F.col(repartition_on))
+        df.write.mode("overwrite").parquet(self._path(stage))
+        out = self.spark.read.parquet(self._path(stage))
+        wall_ms = int((time.monotonic() - t0) * 1000)
+        # per-partition metrics (the lineage generalization of the
+        # reference's progress lines, finddup.py:880-884)
+        per_part = (
+            out.groupBy(F.spark_partition_id().alias("partition_id"))
+            .agg(F.count(F.lit(1)).alias("rows"))
+            .select(
+                F.lit(stage).alias("stage"),
+                F.col("partition_id").cast("int").alias("partition_id"),
+                F.col("rows").cast("long").alias("rows"),
+                F.lit(wall_ms).cast("long").alias("wall_ms"),
+                F.lit("ok").alias("status"),
+            )
+        )
+        per_part.write.mode("append").parquet(os.path.join(self.out_dir, "lineage"))
+        n = out.count()
+        run.stages.append(StageResult(stage, n, wall_ms, skipped=False))
+        return out
+
+    # -- the pipeline ----------------------------------------------------
+
+    def run(self, pages: DataFrame) -> PipelineRun:
+        run = PipelineRun(self.out_dir)
+        cfg = self.cfg
+        kept, ignored = split_ignored(pages) if "url" in pages.columns else (pages, None)
+
+        # stage: exact clusters (every valid page)
+        exact = self._write_stage(
+            run, "exact_clusters", lambda: exact_clusters(kept, cfg), "cluster_id"
+        )
+
+        # error rows → lineage (the unproc_files analog)
+        if not (self.resume and self._done("errors")):
+            errs = kept.filter(F.col("text").isNull()).select(
+                F.lit("errors").alias("stage"),
+                F.lit(-1).alias("partition_id"),
+                F.lit(1).cast("long").alias("rows"),
+                F.lit(0).cast("long").alias("wall_ms"),
+                F.concat(F.lit("error:"), F.col("url") if "url" in kept.columns else F.col("doc_id").cast("string")).alias("status"),
+            )
+            errs.write.mode("append").parquet(os.path.join(self.out_dir, "lineage"))
+            os.makedirs(self._path("errors"), exist_ok=True)
+            open(os.path.join(self._path("errors"), "_SUCCESS"), "w").close()
+
+        # representatives: one doc per exact cluster (scale: fuzzy work
+        # shrinks by the exact-dup ratio, recall unchanged)
+        reps = exact.filter(F.col("doc_id") == F.col("cluster_id")).select("doc_id")
+        rep_pages = valid_pages(kept).join(reps, "doc_id", "left_semi")
+
+        sigs = self._write_stage(
+            run,
+            "signatures",
+            lambda: compute_signatures(rep_pages, cfg),
+            "doc_id",
+        )
+        bands = self._write_stage(
+            run, "bands", lambda: explode_bands(sigs, cfg), "band_hash"
+        )
+
+        def _edges() -> DataFrame:
+            pairs, stats = candidate_pairs(bands, cfg)
+            mh_edges = verify_pairs(pairs, sigs, cfg, method="minhash")
+            exact_edges = (
+                exact.filter(
+                    (F.col("cluster_size") > 1) & (F.col("doc_id") != F.col("cluster_id"))
+                )
+                .select(
+                    F.col("cluster_id").alias("src"),
+                    F.col("doc_id").alias("dst"),
+                    F.lit(1.0).alias("sim"),
+                    F.lit("exact").alias("method"),
+                )
+            )
+            all_edges = mh_edges.unionByName(exact_edges)
+            if self.enable_substring:
+                fps = fingerprints(rep_pages, cfg)
+                sub_pairs, _sub_stats = substring_candidates(fps, cfg)
+                # skip pairs minhash already found (left_anti — J2 analog)
+                fresh = sub_pairs.join(
+                    mh_edges.select("src", "dst"), ["src", "dst"], "left_anti"
+                )
+                sub_edges = verify_substring_pairs(fresh, rep_pages, cfg)
+                all_edges = all_edges.unionByName(sub_edges)
+            # skew stats → lineage
+            stats.select(
+                F.lit("edges").alias("stage"),
+                F.lit(-1).alias("partition_id"),
+                F.col("pairs_truncated_upper_bound").alias("rows"),
+                F.lit(0).cast("long").alias("wall_ms"),
+                F.concat(
+                    F.lit("hot_buckets="), F.col("hot_buckets").cast("string"),
+                    F.lit(" max_bucket="), F.col("max_bucket").cast("string"),
+                ).alias("status"),
+            ).write.mode("append").parquet(os.path.join(self.out_dir, "lineage"))
+            return all_edges
+
+        edges = self._write_stage(run, "edges", _edges, "src")
+
+        def _clusters() -> DataFrame:
+            verts = sigs.select("doc_id")
+            rep_clusters = connected_components(edges.filter(F.col("method") != "exact"), vertices=verts)
+            # compose doc → exact rep → fuzzy cluster
+            return (
+                exact.select("doc_id", F.col("cluster_id").alias("rep"))
+                .join(
+                    rep_clusters.withColumnRenamed("doc_id", "rep").withColumnRenamed(
+                        "cluster_id", "fuzzy_cluster"
+                    ),
+                    "rep",
+                    "left",
+                )
+                .select(
+                    "doc_id",
+                    F.coalesce("fuzzy_cluster", "rep").alias("cluster_id"),
+                )
+            )
+
+        clusters = self._write_stage(run, "clusters", _clusters, "cluster_id")
+
+        if "url" in pages.columns:
+            def _dirs() -> DataFrame:
+                leaf = page_leaf_rows(kept, clusters)
+                dirs = rollup_dirs(self.spark, leaf)
+                return analyze_dirs(dirs)
+
+            self._write_stage(run, "dirs", _dirs, "dir_sig")
+        return run
+
+    def lineage(self) -> DataFrame:
+        return self.spark.read.parquet(os.path.join(self.out_dir, "lineage"))
