@@ -1,11 +1,16 @@
 """Driver contract for the spark-graft builder (PySpark target).
 
 ``entry(spark)`` — flagship exact-dedup clustering on sf0.001.
-``queries()`` — one entry per implemented operator (SURVEY.md §2).
-``oracle_sql()`` — DuckDB-equivalent ANSI SQL per SQL-expressible query.
+``queries()`` — one entry per implemented operator (SURVEY.md §2 + the
+training-pipeline operator family).
+``oracle_sql()`` — DuckDB-equivalent ANSI SQL per SQL-expressible query;
+non-SQL-expressible ops (MinHash UDFs, CC iterations, LSH re-rank,
+multimodal plumbing) are rows-only and are covered instead by the mirror
+oracle + reference-CLI tests in tests/.
 
-Column names and integer widths are aligned on both sides (driver hashes
-values after sorting columns by name).
+Column names and integer widths are aligned on both sides (the driver
+hashes values after sorting columns by name); float columns are rounded
+identically on both sides.
 """
 
 from __future__ import annotations
@@ -16,10 +21,15 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 SF0001 = "/root/testdata/sf0.001"
+LANGS = ("en", "fr", "es", "de", "zh")
 
 
 def _docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.read.parquet(f"{sf_dir}/documents.parquet")
+
+
+def _emb(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return spark.read.parquet(f"{sf_dir}/embeddings.parquet")
 
 
 # ---------------------------------------------------------------------------
@@ -87,13 +97,220 @@ def _q_prefix_block(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _q_exact_dedup_keep(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Training-pipeline exact dedup: keep-list (first doc per content)."""
+    from finddup_spark.operators.dedup import exact_dedup
+
+    out = exact_dedup(_docs(spark, sf_dir))
+    return out.select(
+        "doc_id",
+        F.col("cluster_id").cast("long").alias("cluster_id"),
+        F.col("keep").cast("string").alias("keep"),
+    )
+
+
+def _q_source_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A4 one-level rollup analog on documents: per-source signature =
+    sha256 of sorted member content-hash multiset + byte rollup."""
+    d = _docs(spark, sf_dir).select(
+        "source",
+        F.sha2("text", 256).alias("h"),
+        F.length("text").cast("long").alias("n"),
+    )
+    return d.groupBy("source").agg(
+        F.sha2(F.concat_ws(",", F.sort_array(F.collect_list("h"))), 256).alias("source_sig"),
+        F.sum("n").alias("n_chars_total"),
+        F.count(F.lit(1)).alias("n_docs"),
+    )
+
+
+def _q_dup_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """O1/S6 report ordering: dup groups by size desc, members sorted
+    (string-joined so both engines hash identically)."""
+    d = _docs(spark, sf_dir).select("doc_id", F.sha2("text", 256).alias("h"),
+                                    F.length("text").cast("long").alias("n"))
+    return (
+        d.groupBy("h")
+        .agg(
+            F.count(F.lit(1)).alias("n_members"),
+            F.max("n").alias("n_chars"),
+            F.concat_ws(",", F.sort_array(F.collect_list(F.col("doc_id").cast("string")))).alias("members"),
+        )
+        .filter(F.col("n_members") > 1)
+    )
+
+
+def _q_token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Text-analysis family: token counts, quality, lang id, fingerprint."""
+    from finddup_spark.functions.textstats import text_stats
+
+    return text_stats(_docs(spark, sf_dir))
+
+
+def _q_lang_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Guessed-language histogram (lang-id aggregation shape)."""
+    from finddup_spark.functions.textstats import lang_id
+
+    return (
+        _docs(spark, sf_dir)
+        .select(lang_id("text").alias("lang_guess"), "lang")
+        .groupBy("lang_guess", "lang")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
+
+
+def _q_token_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """n-gram (token-set) Jaccard over a bounded blocked pair set."""
+    from finddup_spark.operators.dedup import token_jaccard_pairs
+
+    return token_jaccard_pairs(_docs(spark, sf_dir))
+
+
+def _q_ann_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Brute-force cosine top-3 for a bounded query set (vec_id < 16)."""
+    from finddup_spark.operators.simsearch import brute_force_topk
+
+    return brute_force_topk(
+        _emb(spark, sf_dir), k=3, query_ids=list(range(16))
+    ).select(
+        F.col("query_id").cast("long").alias("query_id"),
+        F.col("neighbor_id").cast("long").alias("neighbor_id"),
+        "cos",
+        F.col("rank").cast("long").alias("rank"),
+    )
+
+
+def _q_events_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact dedup shape on the events stream table (keeper = min id)."""
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    return ev.groupBy("user_id", "event_type").agg(
+        F.count(F.lit(1)).alias("cnt"),
+        F.min("event_id").alias("keeper"),
+        F.round(F.sum("value"), 6).alias("value_sum"),
+    )
+
+
+def _q_nation_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Join inventory demo (J): orders ⋈ customer ⋈ nation with broadcast
+    dims, grouped revenue."""
+    orders = spark.read.parquet(f"{sf_dir}/orders.parquet")
+    customer = spark.read.parquet(f"{sf_dir}/customer.parquet")
+    nation = spark.read.parquet(f"{sf_dir}/nation.parquet")
+    return (
+        orders.join(F.broadcast(customer), orders.o_custkey == customer.c_custkey)
+        .join(F.broadcast(nation), customer.c_nationkey == nation.n_nationkey)
+        .groupBy(F.col("n_name").alias("nation"))
+        .agg(
+            F.round(F.sum("o_totalprice"), 4).alias("revenue"),
+            F.count(F.lit(1)).alias("n_orders"),
+        )
+    )
+
+
+# ---- rows-only (non-SQL-expressible: vectorized UDF signatures, CC
+# iterations, LSH re-rank, multimodal plumbing) — covered by the mirror
+# oracle and reference-CLI tests instead ----
+
+def _q_minhash_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from finddup_spark.operators.dedup import minhash_dedup
+
+    return minhash_dedup(_docs(spark, sf_dir))
+
+
+def _q_simhash_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from finddup_spark.operators.dedup import simhash_dedup
+
+    return simhash_dedup(_docs(spark, sf_dir))
+
+
+def _q_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from finddup_spark.operators.simsearch import lsh_topk
+
+    emb = _emb(spark, sf_dir)
+    dim = len(emb.select("embedding").first()[0])
+    return lsh_topk(emb, dim=dim, k=3)
+
+
+def _q_media_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from finddup_spark.operators.multimodal import fake_decode_stats, media_from_pages
+    from finddup_spark.sources.tables import pages_from_documents
+
+    pages = pages_from_documents(spark, sf_dir)
+    return fake_decode_stats(media_from_pages(pages))
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "exact_block_sizes": _q_exact_block_sizes,
         "exact_clusters": _q_exact_clusters,
         "exact_verify": _q_exact_verify,
         "prefix_block": _q_prefix_block,
+        "exact_dedup_keep": _q_exact_dedup_keep,
+        "source_rollup": _q_source_rollup,
+        "dup_report": _q_dup_report,
+        "token_stats": _q_token_stats,
+        "lang_counts": _q_lang_counts,
+        "token_jaccard": _q_token_jaccard,
+        "ann_topk": _q_ann_topk,
+        "events_dedup": _q_events_dedup,
+        "nation_revenue": _q_nation_revenue,
+        "minhash_dedup": _q_minhash_dedup,
+        "simhash_dedup": _q_simhash_dedup,
+        "lsh_topk": _q_lsh_topk,
+        "media_stats": _q_media_stats,
     }
+
+
+_TOKEN_STATS_SQL = r"""
+WITH base AS (
+  SELECT doc_id, text,
+         length(text) AS L,
+         CASE WHEN length(trim(text)) = 0 THEN 0
+              ELSE length(string_split_regex(trim(text), '\s+')) END AS n_tokens,
+         length(regexp_replace(text, '[^\p{L}\p{N}\s]', '', 'g')) AS l_nopunct,
+         length(regexp_replace(text, '[0-9]', '', 'g')) AS l_nodigit,
+         length(regexp_replace(text, '\s+', '', 'g')) AS l_nospace
+  FROM documents
+), ev AS (
+  SELECT doc_id,
+         greatest(length(string_split_regex(text, '\benw')) - 1, 0) AS ev_en,
+         greatest(length(string_split_regex(text, '\bfrw')) - 1, 0) AS ev_fr,
+         greatest(length(string_split_regex(text, '\besw')) - 1, 0) AS ev_es,
+         greatest(length(string_split_regex(text, '\bdew')) - 1, 0) AS ev_de,
+         greatest(length(string_split_regex(text, '\bzhw')) - 1, 0) AS ev_zh
+  FROM documents
+), stats AS (
+  SELECT b.doc_id,
+         CAST(b.n_tokens AS BIGINT) AS n_tokens,
+         CAST(ceil(b.L / 4.0) AS BIGINT) AS n_subtokens,
+         round(CASE WHEN b.n_tokens > 0 THEN b.l_nospace * 1.0 / b.n_tokens ELSE 0.0 END, 6) AS mean_token_len,
+         round(CASE WHEN b.L > 0 THEN (b.L - b.l_nopunct) * 1.0 / b.L ELSE 0.0 END, 6) AS punct_ratio,
+         round(CASE WHEN b.L > 0 THEN (b.L - b.l_nodigit) * 1.0 / b.L ELSE 0.0 END, 6) AS digit_ratio,
+         CASE WHEN b.n_tokens > 0 THEN b.l_nospace * 1.0 / b.n_tokens ELSE 0.0 END AS mt,
+         CASE WHEN b.L > 0 THEN (b.L - b.l_nopunct) * 1.0 / b.L ELSE 0.0 END AS pr,
+         CASE WHEN b.L > 0 THEN (b.L - b.l_nodigit) * 1.0 / b.L ELSE 0.0 END AS dr,
+         sha256(trim(regexp_replace(lower(b.text), '\s+', ' ', 'g'))) AS fingerprint
+  FROM base b
+)
+SELECT s.doc_id,
+       s.n_tokens, s.n_subtokens, s.mean_token_len, s.punct_ratio, s.digit_ratio,
+       round(
+         (CASE WHEN s.n_tokens BETWEEN 50 AND 5000 THEN 1.0
+               WHEN s.n_tokens > 0 THEN 0.5 ELSE 0.0 END) * 0.4
+         + (CASE WHEN s.mt BETWEEN 2.0 AND 12.0 THEN 1.0 ELSE 0.5 END) * 0.2
+         + greatest(0.0, 1.0 - s.pr * 4) * 0.2
+         + greatest(0.0, 1.0 - s.dr * 4) * 0.2, 6) AS quality,
+       CASE
+         WHEN e.ev_en >= greatest(e.ev_fr, e.ev_es, e.ev_de, e.ev_zh, 1) THEN 'en'
+         WHEN e.ev_fr >= greatest(e.ev_es, e.ev_de, e.ev_zh, 1) AND e.ev_fr > e.ev_en THEN 'fr'
+         WHEN e.ev_es >= greatest(e.ev_de, e.ev_zh, 1) AND e.ev_es > greatest(e.ev_en, e.ev_fr) THEN 'es'
+         WHEN e.ev_de >= greatest(e.ev_zh, 1) AND e.ev_de > greatest(e.ev_en, e.ev_fr, e.ev_es) THEN 'de'
+         WHEN e.ev_zh >= 1 AND e.ev_zh > greatest(e.ev_en, e.ev_fr, e.ev_es, e.ev_de) THEN 'zh'
+         ELSE 'und'
+       END AS lang_guess,
+       s.fingerprint
+FROM stats s JOIN ev e USING (doc_id)
+"""
 
 
 def oracle_sql() -> dict[str, str]:
@@ -128,6 +345,108 @@ def oracle_sql() -> dict[str, str]:
                    count(*) AS cnt,
                    min(doc_id) AS min_doc
             FROM documents
+            GROUP BY 1
+        """,
+        "exact_dedup_keep": """
+            WITH g AS (
+                SELECT sha256(text) AS h, CAST(min(doc_id) AS BIGINT) AS cluster_id
+                FROM documents GROUP BY 1
+            )
+            SELECT d.doc_id, g.cluster_id,
+                   CAST(d.doc_id = g.cluster_id AS VARCHAR) AS keep
+            FROM documents d JOIN g ON sha256(d.text) = g.h
+        """,
+        "source_rollup": """
+            WITH h AS (
+                SELECT source, sha256(text) AS h,
+                       CAST(length(text) AS BIGINT) AS n
+                FROM documents
+            )
+            SELECT source,
+                   sha256(string_agg(h, ',' ORDER BY h)) AS source_sig,
+                   sum(n) AS n_chars_total,
+                   count(*) AS n_docs
+            FROM h GROUP BY source
+        """,
+        "dup_report": """
+            SELECT sha256(text) AS h,
+                   count(*) AS n_members,
+                   CAST(max(length(text)) AS BIGINT) AS n_chars,
+                   string_agg(CAST(doc_id AS VARCHAR), ',' ORDER BY CAST(doc_id AS VARCHAR)) AS members
+            FROM documents
+            GROUP BY 1
+            HAVING count(*) > 1
+        """,
+        "token_stats": _TOKEN_STATS_SQL,
+        "lang_counts": r"""
+            WITH ev AS (
+              SELECT lang,
+                     greatest(length(string_split_regex(text, '\benw')) - 1, 0) AS ev_en,
+                     greatest(length(string_split_regex(text, '\bfrw')) - 1, 0) AS ev_fr,
+                     greatest(length(string_split_regex(text, '\besw')) - 1, 0) AS ev_es,
+                     greatest(length(string_split_regex(text, '\bdew')) - 1, 0) AS ev_de,
+                     greatest(length(string_split_regex(text, '\bzhw')) - 1, 0) AS ev_zh
+              FROM documents
+            )
+            SELECT CASE
+                     WHEN ev_en >= greatest(ev_fr, ev_es, ev_de, ev_zh, 1) THEN 'en'
+                     WHEN ev_fr >= greatest(ev_es, ev_de, ev_zh, 1) AND ev_fr > ev_en THEN 'fr'
+                     WHEN ev_es >= greatest(ev_de, ev_zh, 1) AND ev_es > greatest(ev_en, ev_fr) THEN 'es'
+                     WHEN ev_de >= greatest(ev_zh, 1) AND ev_de > greatest(ev_en, ev_fr, ev_es) THEN 'de'
+                     WHEN ev_zh >= 1 AND ev_zh > greatest(ev_en, ev_fr, ev_es, ev_de) THEN 'zh'
+                     ELSE 'und'
+                   END AS lang_guess,
+                   lang,
+                   count(*) AS cnt
+            FROM ev
+            GROUP BY 1, 2
+        """,
+        "token_jaccard": r"""
+            WITH toks AS (
+              SELECT doc_id, lang,
+                     list_distinct(string_split_regex(text, '\s+')) AS t
+              FROM documents
+            )
+            SELECT a.doc_id AS src, b.doc_id AS dst,
+                   round(CASE
+                     WHEN len(list_distinct(list_concat(a.t, b.t))) > 0
+                     THEN len(list_intersect(a.t, b.t)) * 1.0
+                          / len(list_distinct(list_concat(a.t, b.t)))
+                     ELSE 1.0 END, 6) AS jaccard
+            FROM toks a JOIN toks b
+              ON a.lang = b.lang AND a.doc_id < b.doc_id
+             AND b.doc_id - a.doc_id <= 3
+        """,
+        "ann_topk": """
+            WITH q AS (
+              SELECT vec_id AS query_id, embedding AS vq FROM embeddings WHERE vec_id < 16
+            ), scored AS (
+              SELECT q.query_id, e.vec_id AS neighbor_id,
+                     round(list_cosine_similarity(q.vq, e.embedding), 6) AS cos
+              FROM q JOIN embeddings e ON e.vec_id != q.query_id
+            )
+            SELECT CAST(query_id AS BIGINT) AS query_id,
+                   CAST(neighbor_id AS BIGINT) AS neighbor_id,
+                   cos,
+                   CAST(row_number() OVER (PARTITION BY query_id ORDER BY cos DESC, neighbor_id) AS BIGINT) AS rank
+            FROM scored
+            QUALIFY rank <= 3
+        """,
+        "events_dedup": """
+            SELECT user_id, event_type,
+                   count(*) AS cnt,
+                   min(event_id) AS keeper,
+                   round(sum(value), 6) AS value_sum
+            FROM events
+            GROUP BY 1, 2
+        """,
+        "nation_revenue": """
+            SELECT n.n_name AS nation,
+                   round(sum(o.o_totalprice), 4) AS revenue,
+                   count(*) AS n_orders
+            FROM orders o
+            JOIN customer c ON o.o_custkey = c.c_custkey
+            JOIN nation n ON c.c_nationkey = n.n_nationkey
             GROUP BY 1
         """,
     }

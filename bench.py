@@ -1,0 +1,217 @@
+#!/usr/bin/env python
+"""Benchmark harness (SURVEY.md §7 M8).
+
+Runs the headline queries at $SPARK_GRAFT_SF_DIR (default
+/root/testdata/sf0.1) on local[$SPARK_GRAFT_CPUS] and prints ONE JSON
+line:
+    {"metric": ..., "value": <total sec>, "unit": "sec",
+     "queries": {...}, "sf": ..., "pages_per_sec": ...}
+
+The flagship query is the full three-tier dedup pipeline (extract →
+signatures → LSH → CC → rollup) over a pages table derived from the
+driver's `documents` parquet (html rendered, text re-extracted by the
+vectorized UDF — so the benched path includes extraction).
+
+`--scaling` runs the flagship at two parallelism levels (local[8] vs
+local[32] by default) in separate JVMs — the sandbox proxy for the
+north rule's N → 4N executor scaling — and writes BENCH/BASELINE.md.
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import subprocess
+import sys
+import time
+
+REPO = os.path.dirname(os.path.abspath(__file__))
+sys.path.insert(0, REPO)
+
+
+def _sf_of(sf_dir: str) -> float:
+    base = os.path.basename(sf_dir.rstrip("/"))
+    try:
+        return float(base.replace("sf", ""))
+    except ValueError:
+        return -1.0
+
+
+def build_pages(spark, sf_dir: str):
+    """documents → pages (html binary) → re-extract text (benched UDF)."""
+    from pyspark.sql import functions as F
+
+    from finddup_spark.extract import extract_text_series
+    from finddup_spark.sources.tables import pages_from_documents
+
+    pages = pages_from_documents(spark, sf_dir).drop("text")
+
+    @F.pandas_udf("string")
+    def extract_udf(html):
+        return extract_text_series(html)
+
+    return pages.withColumn("text", extract_udf("html")).drop("html")
+
+
+def q_pipeline(spark, sf_dir: str, out_dir: str) -> int:
+    from finddup_spark.plans.pipeline import DedupPipeline
+
+    pages = build_pages(spark, sf_dir)
+    run = DedupPipeline(spark, out_dir, resume=False).run(pages)
+    return next(s.rows for s in run.stages if s.name == "clusters")
+
+
+def q_exact(spark, sf_dir: str) -> int:
+    from finddup_spark.operators.exact import exact_clusters
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    return exact_clusters(docs).count()
+
+
+def q_minhash_dedup(spark, sf_dir: str) -> int:
+    from finddup_spark.operators.dedup import minhash_dedup
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    return minhash_dedup(docs).count()
+
+
+def q_simhash_dedup(spark, sf_dir: str) -> int:
+    from finddup_spark.operators.dedup import simhash_dedup
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    return simhash_dedup(docs).count()
+
+
+def q_text_stats(spark, sf_dir: str) -> int:
+    from finddup_spark.functions.textstats import text_stats
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    return text_stats(docs).count()
+
+
+def q_ann(spark, sf_dir: str) -> int:
+    from finddup_spark.operators.simsearch import brute_force_topk
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    return brute_force_topk(emb, k=3, query_ids=list(range(64))).count()
+
+
+def q_lsh_topk(spark, sf_dir: str) -> int:
+    from finddup_spark.operators.simsearch import lsh_topk
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    dim = len(emb.select("embedding").first()[0])
+    return lsh_topk(emb, dim=dim, k=3).count()
+
+
+def run_bench(sf_dir: str, cores: int, only: str | None = None) -> dict:
+    import shutil
+    import tempfile
+
+    from finddup_spark.session import get_spark
+
+    spark = get_spark(app_name=f"bench-{cores}", cores=cores,
+                      shuffle_partitions=max(cores, 8))
+    spark.sparkContext.setLogLevel("ERROR")
+    out_root = tempfile.mkdtemp(prefix="bench_out_")
+
+    n_pages = spark.read.parquet(f"{sf_dir}/documents.parquet").count()
+
+    queries = {
+        "pipeline": lambda: q_pipeline(spark, sf_dir, os.path.join(out_root, "pipe")),
+        "exact": lambda: q_exact(spark, sf_dir),
+        "minhash_dedup": lambda: q_minhash_dedup(spark, sf_dir),
+        "simhash_dedup": lambda: q_simhash_dedup(spark, sf_dir),
+        "text_stats": lambda: q_text_stats(spark, sf_dir),
+        "ann_topk": lambda: q_ann(spark, sf_dir),
+        "lsh_topk": lambda: q_lsh_topk(spark, sf_dir),
+    }
+    if only:
+        queries = {k: v for k, v in queries.items() if k in only.split(",")}
+
+    timings: dict[str, float] = {}
+    for name, fn in queries.items():
+        t0 = time.monotonic()
+        fn()
+        timings[name] = round(time.monotonic() - t0, 3)
+
+    spark.stop()
+    shutil.rmtree(out_root, ignore_errors=True)
+    total = round(sum(timings.values()), 3)
+    result = {
+        "metric": "headline_queries_total_wall",
+        "value": total,
+        "unit": "sec",
+        "queries": timings,
+        "sf": _sf_of(sf_dir),
+        "cores": cores,
+        "n_pages": n_pages,
+    }
+    if "pipeline" in timings:
+        result["pages_per_sec"] = round(n_pages / timings["pipeline"], 2)
+    return result
+
+
+def run_scaling(sf_dir: str, low: int, high: int) -> None:
+    """Same flagship job + same input at two parallelism levels, separate
+    JVMs; writes BENCH/BASELINE.md with throughputs + efficiency."""
+    results = {}
+    for cores in (low, high):
+        cmd = [
+            sys.executable, os.path.abspath(__file__),
+            "--cores", str(cores), "--only", "pipeline", "--sf-dir", sf_dir,
+        ]
+        out = subprocess.run(cmd, capture_output=True, text=True, check=True)
+        line = [l for l in out.stdout.splitlines() if l.startswith("{")][-1]
+        results[cores] = json.loads(line)
+
+    t_low = results[low]["queries"]["pipeline"]
+    t_high = results[high]["queries"]["pipeline"]
+    n = results[low]["n_pages"]
+    thr_low, thr_high = n / t_low, n / t_high
+    eff = (thr_high / thr_low) / (high / low)
+    os.makedirs(os.path.join(REPO, "BENCH"), exist_ok=True)
+    with open(os.path.join(REPO, "BENCH", "BASELINE.md"), "w") as f:
+        f.write(
+            "# BENCH — measured engine numbers\n\n"
+            "## Scaling (north rule: throughput efficiency >= 0.8 from N to 4N)\n\n"
+            "Sandbox proxy: same flagship job (extract -> signatures -> LSH ->\n"
+            "CC -> rollup), same input, two parallelism levels in separate\n"
+            f"JVMs (no real cluster available).\n\n"
+            f"| config | wall (s) | pages/sec |\n|---|---|---|\n"
+            f"| local[{low}] | {t_low:.2f} | {thr_low:.1f} |\n"
+            f"| local[{high}] | {t_high:.2f} | {thr_high:.1f} |\n\n"
+            f"- input: {sf_dir} ({n} pages)\n"
+            f"- speedup {low}->{high} cores: {thr_high/thr_low:.2f}x on {high//low}x cores\n"
+            f"- **scaling efficiency: {eff:.3f}** (target >= 0.8 of ideal; ideal = {high/low:.0f}x)\n"
+        )
+    print(json.dumps({
+        "metric": "scaling_efficiency",
+        "value": round(eff, 3),
+        "unit": "ratio",
+        "queries": {f"pipeline_c{low}": t_low, f"pipeline_c{high}": t_high},
+        "sf": _sf_of(sf_dir),
+        "throughput_low": round(thr_low, 1),
+        "throughput_high": round(thr_high, 1),
+    }))
+
+
+def main() -> None:
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--sf-dir", default=os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1"))
+    ap.add_argument("--cores", type=int, default=int(os.environ.get("SPARK_GRAFT_CPUS", "32")))
+    ap.add_argument("--only", default=None, help="comma-separated query subset")
+    ap.add_argument("--scaling", action="store_true", help="run local[low] vs local[high] and write BENCH/BASELINE.md")
+    ap.add_argument("--scaling-low", type=int, default=8)
+    ap.add_argument("--scaling-high", type=int, default=32)
+    args = ap.parse_args()
+
+    if args.scaling:
+        run_scaling(args.sf_dir, args.scaling_low, args.scaling_high)
+        return
+    print(json.dumps(run_bench(args.sf_dir, args.cores, args.only)))
+
+
+if __name__ == "__main__":
+    main()

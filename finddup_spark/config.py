@@ -37,7 +37,12 @@ class DedupConfig:
     """FIXTURES.md §4 canonical values. threshold ≈ (1/b)^(1/r) ≈ 0.42."""
 
     shingle_k: int = 5            # tokens per shingle
-    minhash_perms: int = 128      # permutation count
+    minhash_perms: int = 128      # permutation count (== OPH bin count)
+    # "oph": one-permutation hashing + rotation densification — O(N) per
+    #   doc, the scale default (128x less signature compute at 10^12 docs).
+    # "classic": (a*x+b) mod 2^61-1 per permutation — O(perms*N), kept for
+    #   the big-int-verifiable family and A/B tests.
+    minhash_mode: str = "oph"
     bands: int = 32               # LSH bands
     rows_per_band: int = 4        # minhash rows per band (32*4 == 128)
     seed: int = 42                # master seed for hash + perm params

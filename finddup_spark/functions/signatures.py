@@ -37,7 +37,7 @@ from ..config import DEFAULT_CONFIG, DedupConfig
 from ..hashing import (
     band_hashes,
     hash_utf8_array,
-    minhash_signatures_segmented,
+    minhash_batch,
     shingle_hashes,
     simhash_batch,
     splitmix64,
@@ -139,9 +139,6 @@ def compute_signatures(
     100 TB you may drop it (``include_shingles=False``) and re-shingle
     inside verification instead; at bench scale carrying it wins.
     """
-    perms_a, perms_b = cfg.perm_params
-    bands, rows = cfg.bands, cfg.rows_per_band
-
     def fn(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
             sh, w = _batch_shingles(pdf[text_col], cfg)
@@ -156,7 +153,7 @@ def compute_signatures(
                 if lengths.sum()
                 else np.empty(0, np.float64)
             )
-            mh = minhash_signatures_segmented(allsh, lengths, perms_a, perms_b)
+            mh = minhash_batch(allsh, lengths, cfg)
             simh = simhash_batch(allsh, allw, lengths)
             out = pd.DataFrame(
                 {
@@ -174,9 +171,14 @@ def compute_signatures(
             yield out
 
     valid = pages.filter(F.col(text_col).isNotNull())
-    return valid.select(F.col(id_col).cast("long").alias(id_col), text_col).mapInPandas(
-        fn, SIGNATURE_SCHEMA
-    )
+    proj = valid.select(F.col(id_col).cast("long").alias(id_col), text_col)
+    # ensure the UDF actually parallelizes: small/local inputs often arrive
+    # as 1-2 parquet splits — spread them across the executor cores. (A
+    # 100 TB input already has thousands of splits; this is a no-op there.)
+    sc = pages.sparkSession.sparkContext
+    if proj.rdd.getNumPartitions() < sc.defaultParallelism:
+        proj = proj.repartition(sc.defaultParallelism)
+    return proj.mapInPandas(fn, SIGNATURE_SCHEMA)
 
 
 def make_band_hash_udf(cfg: DedupConfig = DEFAULT_CONFIG):

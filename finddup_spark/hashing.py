@@ -143,16 +143,75 @@ def minhash_signature(shingles: np.ndarray, a: np.ndarray, b: np.ndarray) -> np.
     return m.min(axis=1)
 
 
+def _perm_matrix_min(
+    x: np.ndarray, a: np.ndarray, b: np.ndarray, starts: np.ndarray
+) -> np.ndarray:
+    """Specialized segmented-min MinHash kernel.
+
+    Computes min over each segment of (a_j * x + b_j) mod 2^61-1 for all
+    perms j at once. The operand splits of x and a are hoisted out of the
+    (P × N) inner products (vs the generic modmul61: ~17 vector ops per
+    pair instead of ~27), and the matrix is built in shingle-axis chunks
+    so temporaries stay cache/memory-bounded regardless of batch size.
+    Returns (n_segments, P).
+    """
+    P, N = len(a), len(x)
+    # reduce x into [0, p) once
+    xm = _red61(x)
+    xm = np.where(xm >= _M61, xm - _M61, xm)
+    x1, x0 = xm >> _U64(31), xm & _U64(0x7FFFFFFF)
+    a1, a0 = (a >> _U64(31))[:, None], (a & _U64(0x7FFFFFFF))[:, None]
+    bb = b[:, None]
+    n_seg = len(starts)
+    out = np.full((P, n_seg), MERSENNE_P, dtype=np.uint64)
+    ends: np.ndarray | None = None
+
+    CHUNK = 1 << 17
+    for lo in range(0, N, CHUNK):
+        hi_ = min(lo + CHUNK, N)
+        cx1, cx0 = x1[None, lo:hi_], x0[None, lo:hi_]
+        hi_t = (a1 * cx1) << _U64(1)                      # ≡ a1*x1*2^62, < 2^61
+        mid = a1 * cx0 + a0 * cx1                         # < 2^62
+        mid_red = (mid >> _U64(30)) + ((mid & _U64(0x3FFFFFFF)) << _U64(31))
+        s = _red61(hi_t) + _red61(mid_red) + _red61(a0 * cx0) + bb  # < 2^63
+        s = _red61(_red61(s))
+        s = np.where(s >= _M61, s - _M61, s)
+        # segments with >=1 element inside this chunk:
+        # seg i covers [starts[i], ends[i]); intersects iff start < hi_
+        # and end > lo (end > lo excludes empty leading slivers, so the
+        # clipped start list stays strictly increasing — reduceat-safe)
+        if ends is None:
+            ends = np.append(starts[1:], N)
+        mask = (starts < hi_) & (ends > lo)
+        idx = np.nonzero(mask)[0]
+        if len(idx):
+            seg_starts = np.clip(starts[idx] - lo, 0, hi_ - lo - 1)
+            mins = np.minimum.reduceat(s, seg_starts, axis=1)
+            out[:, idx] = np.minimum(out[:, idx], mins)
+    return out.T
+
+
+def minhash_batch(all_shingles: np.ndarray, lengths: np.ndarray, cfg) -> np.ndarray:
+    """Mode dispatch (cfg.minhash_mode): OPH (scale default) or the
+    classic 61-bit permutation family. Engine AND mirror oracle call this
+    one function — signature identity across the two is by construction."""
+    if cfg.minhash_mode == "oph":
+        return oph_signatures_segmented(
+            all_shingles, lengths, cfg.minhash_perms, cfg.seed
+        )
+    a, b = cfg.perm_params
+    return minhash_signatures_segmented(all_shingles, lengths, a, b)
+
+
 def minhash_signatures_segmented(
     all_shingles: np.ndarray, lengths: np.ndarray, a: np.ndarray, b: np.ndarray
 ) -> np.ndarray:
     """Batch MinHash: signatures for many docs at once.
 
     ``all_shingles`` is the concatenation of every doc's shingle hashes,
-    ``lengths[i]`` the count for doc i. One (perms × N_total) matrix op,
-    then a per-permutation segmented min via ``np.minimum.reduceat`` —
-    this is the Arrow-batch hot path (SURVEY.md §4: "MinHash as one
-    matrix-min per Arrow batch").
+    ``lengths[i]`` the count for doc i. One chunked (perms × N) modular
+    matrix op with segmented min — the Arrow-batch hot path (SURVEY.md §4:
+    "MinHash as one matrix-min per Arrow batch").
     """
     n_docs = len(lengths)
     p = len(a)
@@ -161,14 +220,52 @@ def minhash_signatures_segmented(
         return out
     nonzero = lengths > 0
     offsets = np.zeros(n_docs, dtype=np.int64)
-    np.cumsum(lengths[:-1], out=offsets[1:]) if n_docs > 1 else None
-    m = perm_hash61(all_shingles[None, :], a[:, None], b[:, None])  # (p, N)
+    if n_docs > 1:
+        np.cumsum(lengths[:-1], out=offsets[1:])
     starts = offsets[nonzero]
-    seg = np.minimum.reduceat(m, starts, axis=1)  # (p, n_nonzero) — but only
-    # reduceat segments end at next start; last segment runs to N. Correct
-    # because all_shingles contains ONLY nonzero-length docs' hashes in order.
-    out[nonzero] = seg.T
+    out[nonzero] = _perm_matrix_min(all_shingles, a, b, starts)
     return out
+
+
+def oph_signatures_segmented(
+    all_shingles: np.ndarray, lengths: np.ndarray, n_bins: int, seed: int
+) -> np.ndarray:
+    """One-Permutation-Hashing MinHash (Li/Owen/Zhang, NIPS'12 — public
+    algorithm) with circular-rotation densification (Shrivastava/Li,
+    ICML'14): ONE hash pass, hash space split into ``n_bins`` intervals by
+    the top bits, min per interval, empty intervals borrow circularly from
+    the nearest filled one to the left.
+
+    O(N) total work vs O(perms × N) for the classic permutation family —
+    the 128× reduction that matters at 10^12 docs. Slightly higher
+    estimator variance for sets ≪ n_bins; the engine verifies candidates
+    with exact Jaccard anyway, and the mirror oracle shares this exact
+    function, so recall accounting is unaffected.
+    """
+    assert n_bins & (n_bins - 1) == 0, "n_bins must be a power of two"
+    shift = _U64(64 - int(n_bins).bit_length() + 1)
+    n_docs = len(lengths)
+    SENT = np.uint64(0xFFFFFFFFFFFFFFFF)
+    out = np.full((n_docs, n_bins), SENT, dtype=np.uint64)
+    if len(all_shingles) == 0:
+        return np.full((n_docs, n_bins), _U64(MERSENNE_P), dtype=np.uint64)
+    K = splitmix64(np.array([seed], dtype=np.uint64))[0]
+    v = splitmix64(all_shingles ^ K)
+    bins = (v >> shift).astype(np.int64)
+    doc_idx = np.repeat(np.arange(n_docs), lengths)
+    np.minimum.at(out, (doc_idx, bins), v)
+    # circular forward-fill densification (vectorized per batch)
+    mm = np.concatenate([out, out], axis=1)              # (D, 2B)
+    colpos = np.arange(2 * n_bins, dtype=np.int64)[None, :]
+    pos = np.where(mm != SENT, colpos, np.int64(-1))
+    last = np.maximum.accumulate(pos, axis=1)
+    fill = np.take_along_axis(mm, np.clip(last, 0, None), axis=1)
+    dens = fill[:, n_bins:]
+    # all-empty docs (no shingles): sentinel signature that never collides
+    empty = lengths == 0
+    dens[empty] = _U64(MERSENNE_P)
+    # docs whose every bin filled from nothing (can't happen unless empty)
+    return dens
 
 
 def band_hashes(sig: np.ndarray, bands: int, rows: int) -> np.ndarray:

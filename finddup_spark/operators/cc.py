@@ -26,12 +26,24 @@ def connected_components(
     max_iters: int = 50,
     checkpoint_every: int = 3,
     id_col: str = "doc_id",
+    driver_threshold: int = 2_000_000,
 ) -> DataFrame:
     """clusters(doc_id, cluster_id) — cluster_id = min doc_id in component.
 
     ``edges``: (src, dst). ``vertices``: optional (doc_id) universe; docs
     with no edges come out as singleton clusters (cluster_id = doc_id).
+
+    Cardinality-dependent strategy switch (the reference's P4 principle,
+    ``finddup.py:434-467``, generalized): a verified-edge graph below
+    ``driver_threshold`` edges is collected and solved with union-find on
+    the driver in milliseconds — near-dup edge sets are tiny relative to
+    the corpus even at 100 TB (edges ≈ dup pairs, not pages). Above the
+    threshold, the distributed min-label loop runs.
     """
+    edges = edges.persist()
+    n_edges = edges.count()
+    if n_edges <= driver_threshold:
+        return _driver_cc(edges, vertices, id_col)
     sym = (
         edges.select(F.col("src").alias("a"), F.col("dst").alias("b"))
         .unionByName(edges.select(F.col("dst").alias("a"), F.col("src").alias("b")))
@@ -63,6 +75,44 @@ def connected_components(
             break
 
     result = labels.withColumnRenamed("label", "cluster_id")
+    if vertices is not None:
+        singles = (
+            vertices.select(F.col(id_col).cast("long").alias(id_col))
+            .join(result, id_col, "left_anti")
+            .withColumn("cluster_id", F.col(id_col))
+        )
+        result = result.unionByName(singles)
+    return result
+
+
+def _driver_cc(
+    edges: DataFrame, vertices: DataFrame | None, id_col: str
+) -> DataFrame:
+    """Small-graph path: collect edges, union-find with min-root unions,
+    parallelize assignments back (non-edge vertices via left-anti join)."""
+    spark = edges.sparkSession
+    rows = edges.select("src", "dst").collect()
+    parent: dict[int, int] = {}
+
+    def find(x: int) -> int:
+        p = parent.setdefault(x, x)
+        while p != parent[p]:
+            parent[p] = parent[parent[p]]
+            p = parent[p]
+        parent[x] = p
+        return p
+
+    for r in rows:
+        ra, rb = find(int(r.src)), find(int(r.dst))
+        if ra != rb:
+            lo, hi = (ra, rb) if ra < rb else (rb, ra)
+            parent[hi] = lo
+
+    assign = [(x, find(x)) for x in list(parent)]
+    if assign:
+        result = spark.createDataFrame(assign, f"{id_col} long, cluster_id long")
+    else:
+        result = spark.createDataFrame([], f"{id_col} long, cluster_id long")
     if vertices is not None:
         singles = (
             vertices.select(F.col(id_col).cast("long").alias(id_col))

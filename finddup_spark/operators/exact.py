@@ -93,6 +93,7 @@ def exact_clusters(
         .agg(F.count(F.lit(1)).alias("cnt"))
         .filter(F.col("cnt") > 1)
         .select(*block_keys)
+        .persist()  # tiny; reused by both the semi- and anti-join
     )
     cand = base.join(F.broadcast(multi), block_keys, "left_semi")
     single = base.join(F.broadcast(multi), block_keys, "left_anti")

@@ -46,11 +46,15 @@ def candidate_pairs(
     """(pairs, stats) — pairs(src, dst) with src < dst, distinct across
     bands; stats is a tiny DataFrame of hot-bucket truncation metrics for
     the lineage sink (no silent caps)."""
+    # the bands lineage usually ends in the signature UDF — persist so the
+    # histogram pass and every join branch below reuse one computation
+    # instead of re-running the UDF per branch
+    bands = bands.persist()
     sizes = (
         bands.groupBy("band_id", "band_hash")
         .agg(F.count(F.lit(1)).alias("bucket_size"))
     )
-    keyed = bands.join(sizes, ["band_id", "band_hash"])
+    keyed = bands.join(sizes, ["band_id", "band_hash"]).persist()
 
     dup_buckets = keyed.filter(F.col("bucket_size") >= 2)
     small = dup_buckets.filter(F.col("bucket_size") <= cfg.hot_bucket_cap)
@@ -170,7 +174,7 @@ def simhash_candidate_pairs(
                 for i in range(n_chunks)
             ])
         ).alias("c"),
-    ).select("doc_id", "simhash", F.col("c.chunk_id"), F.col("c.chunk_val"))
+    ).select("doc_id", "simhash", F.col("c.chunk_id"), F.col("c.chunk_val")).persist()
 
     a = chunks.select("chunk_id", "chunk_val", F.col("doc_id").alias("src"), F.col("simhash").alias("sim_src"))
     b = chunks.select("chunk_id", "chunk_val", F.col("doc_id").alias("dst"), F.col("simhash").alias("sim_dst"))

@@ -1,0 +1,158 @@
+"""Similarity search over embedding columns (training-pipeline operator).
+
+- :func:`brute_force_topk` — exact cosine top-k, all JVM-side
+  (``zip_with`` dot product + window top-k): the correctness baseline.
+- :func:`hyperplane_buckets` / :func:`lsh_topk` — random-hyperplane LSH
+  (sign sketch) bucketing: the scale path. Buckets are seeded and
+  deterministic; candidates are re-ranked with exact cosine, so the
+  only approximation is bucket recall (multi-probe via ``n_tables``).
+
+At 100 TB the brute-force self-join is quadratic — it exists for oracle
+checks and small query sets; the LSH variant shuffles each vector to
+``n_tables`` buckets and joins within buckets only.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+
+def with_norm(emb: DataFrame, id_col: str = "vec_id", vec_col: str = "embedding") -> DataFrame:
+    """Project (id, vec_d: array<double>, norm)."""
+    vec_d = F.transform(F.col(vec_col), lambda x: x.cast("double"))
+    return emb.select(
+        F.col(id_col),
+        vec_d.alias("vec_d"),
+        F.sqrt(
+            F.aggregate(vec_d, F.lit(0.0), lambda acc, x: acc + x * x)
+        ).alias("norm"),
+    )
+
+
+def cosine_expr(va: str, vb: str, na: str, nb: str) -> Column:
+    dot = F.aggregate(
+        F.zip_with(F.col(va), F.col(vb), lambda x, y: x * y),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+    denom = F.col(na) * F.col(nb)
+    return F.when(denom > 0, dot / denom).otherwise(F.lit(0.0))
+
+
+def brute_force_topk(
+    emb: DataFrame,
+    k: int = 3,
+    query_ids: list[int] | None = None,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """(query_id, neighbor_id, cos, rank) — exact top-k by cosine.
+
+    ``query_ids`` bounds the left side (broadcast) so the join is
+    |queries| × N, not N²; None means all-pairs (oracle scale only).
+    """
+    e = with_norm(emb, id_col, vec_col)
+    q = e.select(F.col(id_col).alias("query_id"), F.col("vec_d").alias("vq"), F.col("norm").alias("nq"))
+    if query_ids is not None:
+        q = q.filter(F.col("query_id").isin([int(x) for x in query_ids]))
+        q = F.broadcast(q)
+    c = e.select(F.col(id_col).alias("neighbor_id"), F.col("vec_d").alias("vc"), F.col("norm").alias("nc"))
+    scored = (
+        q.join(c, F.col("query_id") != F.col("neighbor_id"))
+        .select(
+            "query_id",
+            "neighbor_id",
+            F.round(cosine_expr("vq", "vc", "nq", "nc"), 6).alias("cos"),
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("cos"), F.asc("neighbor_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+    )
+
+
+def _hyperplanes(dim: int, n_planes: int, n_tables: int, seed: int) -> np.ndarray:
+    rng = np.random.default_rng(seed)
+    return rng.standard_normal((n_tables, n_planes, dim))
+
+
+def hyperplane_buckets(
+    emb: DataFrame,
+    dim: int,
+    n_planes: int = 12,
+    n_tables: int = 4,
+    seed: int = 42,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """(table_id, bucket, vec_id) — sign-sketch LSH index.
+
+    Signs of <v, h_i> per table pack into an int bucket key. Computed with
+    a vectorized pandas UDF (one (batch × dim) @ (dim × planes) matmul per
+    Arrow batch per table).
+    """
+    import pandas as pd
+    from pyspark.sql.types import ArrayType, LongType
+
+    planes = _hyperplanes(dim, n_planes, n_tables, seed)
+
+    def _buckets(vecs):
+        if len(vecs) == 0:
+            return pd.Series([], dtype=object)
+        m = np.stack([np.asarray(v, dtype=np.float64) for v in vecs])  # (B, dim)
+        keys = np.zeros((m.shape[0], planes.shape[0]), dtype=np.int64)
+        for t in range(planes.shape[0]):
+            signs = (m @ planes[t].T) > 0  # (B, planes)
+            keys[:, t] = signs.dot(1 << np.arange(signs.shape[1], dtype=np.int64))
+        return pd.Series(list(keys))
+
+    bucket_udf = F.pandas_udf(_buckets, ArrayType(LongType()))
+
+    return emb.select(
+        F.col(id_col), F.posexplode(bucket_udf(F.col(vec_col))).alias("table_id", "bucket")
+    ).select("table_id", "bucket", id_col)
+
+
+def lsh_topk(
+    emb: DataFrame,
+    dim: int,
+    k: int = 3,
+    n_planes: int = 10,
+    n_tables: int = 6,
+    seed: int = 42,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Approximate top-k: candidates from shared LSH buckets, exact cosine
+    re-rank. Same output shape as brute_force_topk."""
+    buckets = hyperplane_buckets(emb, dim, n_planes, n_tables, seed, id_col, vec_col)
+    a = buckets.select("table_id", "bucket", F.col(id_col).alias("query_id"))
+    b = buckets.select("table_id", "bucket", F.col(id_col).alias("neighbor_id"))
+    cand = (
+        a.join(b, ["table_id", "bucket"])
+        .filter(F.col("query_id") != F.col("neighbor_id"))
+        .select("query_id", "neighbor_id")
+        .distinct()
+    )
+    e = with_norm(emb, id_col, vec_col)
+    scored = (
+        cand.join(
+            e.select(F.col(id_col).alias("query_id"), F.col("vec_d").alias("vq"), F.col("norm").alias("nq")),
+            "query_id",
+        )
+        .join(
+            e.select(F.col(id_col).alias("neighbor_id"), F.col("vec_d").alias("vc"), F.col("norm").alias("nc")),
+            "neighbor_id",
+        )
+        .select(
+            "query_id",
+            "neighbor_id",
+            F.round(cosine_expr("vq", "vc", "nq", "nc"), 6).alias("cos"),
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("cos"), F.asc("neighbor_id"))
+    return scored.withColumn("rank", F.row_number().over(w)).filter(F.col("rank") <= k)

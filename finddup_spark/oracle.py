@@ -21,7 +21,7 @@ from .config import DEFAULT_CONFIG, DedupConfig
 from .hashing import (
     band_hashes,
     hash_utf8_array,
-    minhash_signature,
+    minhash_batch,
     rolling_gram_hashes,
     shingle_hashes,
     simhash64,
@@ -80,7 +80,6 @@ def run_oracle(
     text_col: str = "text",
 ) -> OracleResult:
     """Full mirror pipeline over an in-memory docs frame."""
-    a, b = cfg.perm_params
     sigs: dict[int, np.ndarray] = {}
     simhashes: dict[int, int] = {}
     sets: dict[int, set[int]] = {}
@@ -92,7 +91,7 @@ def run_oracle(
         doc_id = int(doc_id)
         u, w = doc_shingles(text, cfg)
         sets[doc_id] = set(int(x) for x in u)
-        sig = minhash_signature(u, a, b)
+        sig = minhash_batch(u, np.array([len(u)]), cfg)[0]
         sigs[doc_id] = sig
         simhashes[doc_id] = simhash64(u, w)
         bh = band_hashes(sig[None, :], cfg.bands, cfg.rows_per_band)[0]
