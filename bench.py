@@ -54,10 +54,15 @@ def build_pages(spark, sf_dir: str):
     return pages.withColumn("text", extract_udf("html")).drop("html")
 
 
-def q_pipeline(spark, sf_dir: str, out_dir: str) -> int:
+def q_pipeline(spark, sf_dir: str, out_dir: str, pages_path: str | None = None) -> int:
     from finddup_spark.plans.pipeline import DedupPipeline
 
-    pages = build_pages(spark, sf_dir)
+    if pages_path:
+        from finddup_spark.sources.tables import load_pages
+
+        pages = load_pages(spark, pages_path)
+    else:
+        pages = build_pages(spark, sf_dir)
     run = DedupPipeline(spark, out_dir, resume=False).run(pages)
     return next(s.rows for s in run.stages if s.name == "clusters")
 
@@ -105,7 +110,8 @@ def q_lsh_topk(spark, sf_dir: str) -> int:
     return lsh_topk(emb, dim=dim, k=3).count()
 
 
-def run_bench(sf_dir: str, cores: int, only: str | None = None) -> dict:
+def run_bench(sf_dir: str, cores: int, only: str | None = None,
+              pages_path: str | None = None) -> dict:
     import shutil
     import tempfile
 
@@ -116,10 +122,13 @@ def run_bench(sf_dir: str, cores: int, only: str | None = None) -> dict:
     spark.sparkContext.setLogLevel("ERROR")
     out_root = tempfile.mkdtemp(prefix="bench_out_")
 
-    n_pages = spark.read.parquet(f"{sf_dir}/documents.parquet").count()
+    if pages_path:
+        n_pages = spark.read.parquet(pages_path).count()
+    else:
+        n_pages = spark.read.parquet(f"{sf_dir}/documents.parquet").count()
 
     queries = {
-        "pipeline": lambda: q_pipeline(spark, sf_dir, os.path.join(out_root, "pipe")),
+        "pipeline": lambda: q_pipeline(spark, sf_dir, os.path.join(out_root, "pipe"), pages_path),
         "exact": lambda: q_exact(spark, sf_dir),
         "minhash_dedup": lambda: q_minhash_dedup(spark, sf_dir),
         "simhash_dedup": lambda: q_simhash_dedup(spark, sf_dir),
@@ -153,14 +162,29 @@ def run_bench(sf_dir: str, cores: int, only: str | None = None) -> dict:
     return result
 
 
-def run_scaling(sf_dir: str, low: int, high: int) -> None:
+def run_scaling(sf_dir: str, low: int, high: int, scale_rows: int) -> None:
     """Same flagship job + same input at two parallelism levels, separate
-    JVMs; writes BENCH/BASELINE.md with throughputs + efficiency."""
+    JVMs; writes BENCH/BASELINE.md with throughputs + efficiency.
+
+    The input is a deterministically generated pages corpus (seed 42)
+    sized so compute dominates scheduler overhead — the sandbox proxy for
+    the north rule's N → 4N executor scaling (no real cluster available).
+    """
+    import tempfile
+
+    from finddup_spark.corpus import write_pages_parquet
+
+    corpus_dir = os.path.join(tempfile.gettempdir(), f"scale_corpus_{scale_rows}")
+    pages_path = os.path.join(corpus_dir, "pages.parquet")
+    if not os.path.exists(pages_path):
+        write_pages_parquet(corpus_dir, n_rows=scale_rows, seed=42)
+
     results = {}
     for cores in (low, high):
         cmd = [
             sys.executable, os.path.abspath(__file__),
             "--cores", str(cores), "--only", "pipeline", "--sf-dir", sf_dir,
+            "--pages-path", pages_path,
         ]
         out = subprocess.run(cmd, capture_output=True, text=True, check=True)
         line = [l for l in out.stdout.splitlines() if l.startswith("{")][-1]
@@ -182,7 +206,7 @@ def run_scaling(sf_dir: str, low: int, high: int) -> None:
             f"| config | wall (s) | pages/sec |\n|---|---|---|\n"
             f"| local[{low}] | {t_low:.2f} | {thr_low:.1f} |\n"
             f"| local[{high}] | {t_high:.2f} | {thr_high:.1f} |\n\n"
-            f"- input: {sf_dir} ({n} pages)\n"
+            f"- input: deterministic synthetic pages corpus, seed 42, {n} pages\n"
             f"- speedup {low}->{high} cores: {thr_high/thr_low:.2f}x on {high//low}x cores\n"
             f"- **scaling efficiency: {eff:.3f}** (target >= 0.8 of ideal; ideal = {high/low:.0f}x)\n"
         )
@@ -205,12 +229,16 @@ def main() -> None:
     ap.add_argument("--scaling", action="store_true", help="run local[low] vs local[high] and write BENCH/BASELINE.md")
     ap.add_argument("--scaling-low", type=int, default=8)
     ap.add_argument("--scaling-high", type=int, default=32)
+    ap.add_argument("--scale-rows", type=int, default=60000,
+                    help="synthetic corpus size for --scaling")
+    ap.add_argument("--pages-path", default=None,
+                    help="run the pipeline on this pages parquet instead of sf_dir documents")
     args = ap.parse_args()
 
     if args.scaling:
-        run_scaling(args.sf_dir, args.scaling_low, args.scaling_high)
+        run_scaling(args.sf_dir, args.scaling_low, args.scaling_high, args.scale_rows)
         return
-    print(json.dumps(run_bench(args.sf_dir, args.cores, args.only)))
+    print(json.dumps(run_bench(args.sf_dir, args.cores, args.only, args.pages_path)))
 
 
 if __name__ == "__main__":

@@ -369,6 +369,20 @@ def winnow(hashes: np.ndarray, window: int) -> np.ndarray:
         return np.empty(0, dtype=np.uint64)
     if n <= window:
         return np.unique(hashes.min(keepdims=True))
-    sw = np.lib.stride_tricks.sliding_window_view(hashes, window)
-    mins = sw.min(axis=1)
-    return np.unique(mins)
+    return np.unique(_sliding_min(hashes, window))
+
+
+def _sliding_min(a: np.ndarray, w: int) -> np.ndarray:
+    """O(n) sliding-window minimum (two-pass block prefix/suffix mins —
+    the classic deque-free vectorization), vs O(n·w) for the naive
+    stride view. The substring tier runs this over every doc."""
+    n = len(a)
+    nb = -(-n // w)
+    pad = nb * w - n
+    big = np.uint64(0xFFFFFFFFFFFFFFFF)
+    ap = np.concatenate([a, np.full(pad, big, dtype=np.uint64)]) if pad else a
+    blocks = ap.reshape(nb, w)
+    prefix = np.minimum.accumulate(blocks, axis=1).ravel()
+    suffix = np.minimum.accumulate(blocks[:, ::-1], axis=1)[:, ::-1].ravel()
+    i = np.arange(n - w + 1)
+    return np.minimum(suffix[i], prefix[i + w - 1])

