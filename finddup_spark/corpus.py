@@ -79,12 +79,11 @@ def _text_of(tokens: list[str], para: int = 60) -> str:
 
 def token_jaccard_shingles(a: list[str], b: list[str], cfg: DedupConfig) -> float:
     """Exact shingle-set Jaccard using the engine's own hashing."""
+    from .hashing import doc_shingle_set
+
     def sh(toks: list[str]) -> set[int]:
-        if not toks:
-            return set()
-        uniq, codes = np.unique(np.array(toks), return_inverse=True)
-        h = hash_utf8_array(uniq, cfg.seed)[codes]
-        return set(shingle_hashes(h, cfg.shingle_k).tolist())
+        u, _w = doc_shingle_set(" ".join(toks), cfg.shingle_k, cfg.seed)
+        return set(u.tolist())
 
     sa, sb = sh(a), sh(b)
     if not sa and not sb:

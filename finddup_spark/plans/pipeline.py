@@ -119,9 +119,18 @@ class DedupPipeline:
         return os.path.exists(os.path.join(self._path(stage), "_SUCCESS"))
 
     def _write_stage(
-        self, run: PipelineRun, stage: str, df_fn, repartition_on: str | None = None
+        self,
+        run: PipelineRun,
+        stage: str,
+        df_fn,
+        repartition_on: str | None = None,
+        partition_cols: list[str] | None = None,
     ) -> DataFrame:
-        """Compute-or-skip one stage; append lineage metrics."""
+        """Compute-or-skip one stage; append lineage metrics.
+
+        ``partition_cols`` produces hive-style directory partitioning on
+        disk (the Iceberg ``partitionedBy(bucket(...))`` analog) so the
+        next stage and external readers can partition-prune."""
         t0 = time.monotonic()
         if self.resume and self._done(stage):
             out = self.spark.read.parquet(self._path(stage))
@@ -130,7 +139,10 @@ class DedupPipeline:
         df = df_fn()
         if repartition_on is not None:
             df = df.repartition(F.col(repartition_on))
-        df.write.mode("overwrite").parquet(self._path(stage))
+        writer = df.write.mode("overwrite")
+        if partition_cols:
+            writer = writer.partitionBy(*partition_cols)
+        writer.parquet(self._path(stage))
         out = self.spark.read.parquet(self._path(stage))
         wall_ms = int((time.monotonic() - t0) * 1000)
         # per-partition metrics (the lineage generalization of the
@@ -186,12 +198,21 @@ class DedupPipeline:
             "doc_id",
         )
         bands = self._write_stage(
-            run, "bands", lambda: explode_bands(sigs, cfg), "band_hash"
+            run,
+            "bands",
+            # band-prefix disk partitioning (north rule: stage tables
+            # "partitioned by signature-band prefix") — readers of a band
+            # range prune directories
+            lambda: explode_bands(sigs, cfg).withColumn(
+                "band_prefix", F.pmod("band_hash", F.lit(16))
+            ),
+            "band_hash",
+            partition_cols=["band_prefix"],
         )
 
         def _edges() -> DataFrame:
             pairs, stats = candidate_pairs(bands, cfg)
-            mh_edges = verify_pairs(pairs, sigs, cfg, method="minhash")
+            mh_edges = verify_pairs(pairs, rep_pages, cfg, method="minhash")
             exact_edges = (
                 exact.filter(
                     (F.col("cluster_size") > 1) & (F.col("doc_id") != F.col("cluster_id"))
