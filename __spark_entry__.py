@@ -231,6 +231,64 @@ def _q_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return lsh_topk(emb, dim=dim, k=3)
 
 
+def _q_anti_join_uniques(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """J2 set-complement (reference invalidation anti-join,
+    finddup.py:1000-1005): docs whose content has no duplicate."""
+    d = _docs(spark, sf_dir)
+    dups = (
+        d.groupBy(F.sha2("text", 256).alias("h"))
+        .agg(F.count(F.lit(1)).alias("cnt"))
+        .filter(F.col("cnt") > 1)
+        .select("h")
+    )
+    return (
+        d.withColumn("h", F.sha2("text", 256))
+        .join(dups, "h", "left_anti")
+        .groupBy("lang")
+        .agg(F.count(F.lit(1)).alias("n_unique"))
+    )
+
+
+def _q_pipeline_pages(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Full three-tier staged pipeline over pages derived from documents
+    (rows-only: CC iterations are not one-statement SQL)."""
+    import tempfile
+
+    from finddup_spark.plans.pipeline import DedupPipeline
+    from finddup_spark.sources.tables import pages_from_documents
+
+    pages = pages_from_documents(spark, sf_dir)
+    out = tempfile.mkdtemp(prefix="entry_pipe_")
+    run = DedupPipeline(spark, out, enable_substring=False, resume=False).run(pages)
+    return run.table(spark, "clusters")
+
+
+def _q_site_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A4/A5 dir rollup over url prefixes (rows-only; the reference-CLI
+    equality test in tests/ is the real gate)."""
+    from finddup_spark.operators.exact import exact_clusters
+    from finddup_spark.operators.rollup import analyze_dirs, page_leaf_rows, rollup_dirs
+    from finddup_spark.sources.tables import pages_from_documents
+
+    pages = pages_from_documents(spark, sf_dir)
+    clusters = exact_clusters(pages)
+    dirs = rollup_dirs(spark, page_leaf_rows(pages, clusters))
+    return analyze_dirs(dirs)
+
+
+def _q_winnow_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Substring-tier fingerprint index (rows-only; vectorized UDF)."""
+    from finddup_spark.operators.substring import fingerprints
+    from finddup_spark.sources.tables import pages_from_documents
+
+    pages = pages_from_documents(spark, sf_dir)
+    return (
+        fingerprints(pages)
+        .groupBy("doc_id")
+        .agg(F.count(F.lit(1)).alias("n_fingerprints"))
+    )
+
+
 def _q_media_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     from finddup_spark.operators.multimodal import fake_decode_stats, media_from_pages
     from finddup_spark.sources.tables import pages_from_documents
@@ -258,6 +316,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "simhash_dedup": _q_simhash_dedup,
         "lsh_topk": _q_lsh_topk,
         "media_stats": _q_media_stats,
+        "anti_join_uniques": _q_anti_join_uniques,
+        "pipeline_pages": _q_pipeline_pages,
+        "site_rollup": _q_site_rollup,
+        "winnow_fingerprints": _q_winnow_fingerprints,
     }
 
 
@@ -447,6 +509,16 @@ def oracle_sql() -> dict[str, str]:
             FROM orders o
             JOIN customer c ON o.o_custkey = c.c_custkey
             JOIN nation n ON c.c_nationkey = n.n_nationkey
+            GROUP BY 1
+        """,
+        "anti_join_uniques": """
+            WITH dups AS (
+                SELECT sha256(text) AS h FROM documents
+                GROUP BY 1 HAVING count(*) > 1
+            )
+            SELECT lang, count(*) AS n_unique
+            FROM documents
+            WHERE sha256(text) NOT IN (SELECT h FROM dups)
             GROUP BY 1
         """,
     }

@@ -154,29 +154,33 @@ def verify_pairs(
         ]
     )
 
+    SLICE = 256  # pairs per sub-slice → cache-resident shingling
+
     def fn(batches):
         import numpy as np
 
         from ..functions.signatures import _batch_shingles
 
-        for pdf in batches:
-            n = len(pdf)
-            if n == 0:
-                continue
-            both = pd.concat([pdf["t_src"], pdf["t_dst"]], ignore_index=True)
-            sh, _w = _batch_shingles(both, cfg)
-            sims = np.empty(n, dtype=np.float64)
-            for i in range(n):
-                a, b = sh[i], sh[n + i]
-                if len(a) == 0 and len(b) == 0:
-                    sims[i] = 1.0
+        for whole in batches:
+            for lo in range(0, len(whole), SLICE):
+                pdf = whole.iloc[lo : lo + SLICE]
+                n = len(pdf)
+                if n == 0:
                     continue
-                inter = len(np.intersect1d(a, b, assume_unique=True))
-                sims[i] = inter / (len(a) + len(b) - inter)
-            out = pd.DataFrame(
-                {"src": pdf["src"].values, "dst": pdf["dst"].values, "sim": sims}
-            )
-            yield out[out["sim"] >= thr]
+                both = pd.concat([pdf["t_src"], pdf["t_dst"]], ignore_index=True)
+                sh, _w = _batch_shingles(both, cfg)
+                sims = np.empty(n, dtype=np.float64)
+                for i in range(n):
+                    a, b = sh[i], sh[n + i]
+                    if len(a) == 0 and len(b) == 0:
+                        sims[i] = 1.0
+                        continue
+                    inter = len(np.intersect1d(a, b, assume_unique=True))
+                    sims[i] = inter / (len(a) + len(b) - inter)
+                out = pd.DataFrame(
+                    {"src": pdf["src"].values, "dst": pdf["dst"].values, "sim": sims}
+                )
+                yield out[out["sim"] >= thr]
 
     return (
         withs.select("src", "dst", "t_src", "t_dst")

@@ -268,7 +268,10 @@ class DedupPipeline:
         if "url" in pages.columns:
             def _dirs() -> DataFrame:
                 leaf = page_leaf_rows(kept, clusters)
-                dirs = rollup_dirs(self.spark, leaf)
+                # checkpoint=False: url depth is bounded (<20), so the
+                # unioned per-level plan stays small — saves one eager
+                # job per level of serial driver time
+                dirs = rollup_dirs(self.spark, leaf, checkpoint=False)
                 return analyze_dirs(dirs)
 
             self._write_stage(run, "dirs", _dirs, "dir_sig")
