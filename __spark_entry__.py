@@ -426,7 +426,7 @@ def oracle_sql() -> dict[str, str]:
             )
             SELECT source,
                    sha256(string_agg(h, ',' ORDER BY h)) AS source_sig,
-                   sum(n) AS n_chars_total,
+                   CAST(sum(n) AS BIGINT) AS n_chars_total,
                    count(*) AS n_docs
             FROM h GROUP BY source
         """,
@@ -484,7 +484,11 @@ def oracle_sql() -> dict[str, str]:
               SELECT vec_id AS query_id, embedding AS vq FROM embeddings WHERE vec_id < 16
             ), scored AS (
               SELECT q.query_id, e.vec_id AS neighbor_id,
-                     round(list_cosine_similarity(q.vq, e.embedding), 6) AS cos
+                     -- double-precision on both sides: the engine computes
+                     -- the dot product in double; float32 here drifts past
+                     -- the 1e-6 rounding and flips hashes
+                     round(list_cosine_similarity(
+                       CAST(q.vq AS DOUBLE[]), CAST(e.embedding AS DOUBLE[])), 6) AS cos
               FROM q JOIN embeddings e ON e.vec_id != q.query_id
             )
             SELECT CAST(query_id AS BIGINT) AS query_id,

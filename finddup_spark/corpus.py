@@ -318,6 +318,10 @@ def write_pages_parquet(path: str, n_rows: int = 500, seed: int = 42) -> tuple[s
     pages_df["warc_ts"] = pages_df["warc_ts"].astype("datetime64[us]")
     pages_path = os.path.join(path, "pages.parquet")
     truth_path = os.path.join(path, "truth_clusters.parquet")
-    pages_df.to_parquet(pages_path, index=False)
-    truth_df.to_parquet(truth_path, index=False)
+    # small row groups: a single-file corpus with ONE row group is
+    # unsplittable — every Spark scan collapses to one task regardless of
+    # cores (measured: the whole signature stage ran single-task). ~2k rows
+    # ≈ 5 MB per group keeps byte-range splits real.
+    pages_df.to_parquet(pages_path, index=False, row_group_size=2048)
+    truth_df.to_parquet(truth_path, index=False, row_group_size=65536)
     return pages_path, truth_path

@@ -59,6 +59,13 @@ def hash_utf8_array(tokens: np.ndarray, seed: int = 0) -> np.ndarray:
 _WS_BYTES = np.array([9, 10, 11, 12, 13, 32], dtype=np.uint8)
 
 
+#: byte-stream chunk for the tokenizer — sized so the ~5 per-chunk uint64
+#: temporaries stay L2-resident (the whole-stream version allocates ~50n
+#: bytes of DRAM temporaries; at 32 concurrent UDF workers the memory bus,
+#: not FLOPs, is the budget).
+_TOK_CHUNK = 1 << 15
+
+
 def token_hash_stream(data: bytes, seed: int = 0) -> tuple[np.ndarray, np.ndarray]:
     """Vectorized tokenizer + hasher over raw UTF-8 bytes.
 
@@ -66,57 +73,114 @@ def token_hash_stream(data: bytes, seed: int = 0) -> tuple[np.ndarray, np.ndarra
     maximal non-whitespace byte runs; each token's hash is a polynomial
     rolling hash of its bytes (prefix-product trick, O(total bytes), no
     per-token Python) xor-folded with its length and splitmix64-finalized.
-    This is the batch hot path — it never materializes token strings.
+    This is the batch hot path — it never materializes token strings, and
+    it streams the byte buffer in cache-sized chunks cut at whitespace
+    (prefix-sum carry across chunks) so temporaries never touch DRAM.
     """
     b = np.frombuffer(data, dtype=np.uint8)
     n = len(b)
     if n == 0:
         return np.empty(0, np.uint64), np.empty(0, np.int64)
-    is_ws = (
-        (b == 32) | (b == 10) | (b == 9) | (b == 13) | (b == 11) | (b == 12)
-    )
-    nonws = ~is_ws
-    prev_ws = np.empty(n, dtype=bool)
-    prev_ws[0] = True
-    prev_ws[1:] = is_ws[:-1]
-    starts = np.nonzero(nonws & prev_ws)[0]
-    if len(starts) == 0:
-        return np.empty(0, np.uint64), np.empty(0, np.int64)
-    next_ws = np.empty(n, dtype=bool)
-    next_ws[-1] = True
-    next_ws[:-1] = is_ws[1:]
-    ends = np.nonzero(nonws & next_ws)[0] + 1
-
     C = SHINGLE_MULT
     c_inv = _U64(pow(int(C), -1, 1 << 64))
-    bu = b.astype(np.uint64)
-    # inverse-power weights w[j] = b[j] * C^{-j} via two-table power
-    # lookup (O(sqrt) sequential work instead of an O(n) accumulate)
-    invp = _pow_lookup(c_inv, np.arange(n, dtype=np.int64))
-    P = np.zeros(n + 1, dtype=np.uint64)
-    np.cumsum(bu * invp, out=P[1:])
-    raw = (P[ends] - P[starts]) * _pow_lookup(C, ends - 1)
-    lens = (ends - starts).astype(np.uint64)
     seed_mix = splitmix64(np.array([seed], dtype=np.uint64))[0]
-    h = splitmix64(raw ^ (lens << _U64(48)) ^ seed_mix)
-    return h, starts.astype(np.int64)
+
+    h_parts: list[np.ndarray] = []
+    s_parts: list[np.ndarray] = []
+    lo = 0
+    while lo < n:
+        hi = min(lo + _TOK_CHUNK, n)
+        if hi < n:
+            # cut at the last whitespace so no token spans a chunk boundary
+            cut = _last_ws(b, lo, hi)
+            while cut < 0:  # pathological: no whitespace in chunk — extend
+                hi = min(hi + _TOK_CHUNK, n)
+                if hi == n:
+                    cut = n
+                    break
+                cut = _last_ws(b, lo, hi)
+            hi = cut if cut > lo else hi
+        cb = b[lo:hi]
+        m = hi - lo
+        is_ws = (
+            (cb == 32) | (cb == 10) | (cb == 9) | (cb == 13) | (cb == 11) | (cb == 12)
+        )
+        nonws = ~is_ws
+        prev_ws = np.empty(m, dtype=bool)
+        # chunks start at 0 or right after a whitespace cut → boundary is ws
+        prev_ws[0] = True if lo == 0 else bool(is_ws_byte(b[lo - 1]))
+        prev_ws[1:] = is_ws[:-1]
+        starts = np.nonzero(nonws & prev_ws)[0]
+        if len(starts):
+            next_ws = np.empty(m, dtype=bool)
+            next_ws[-1] = True if hi == n else bool(is_ws_byte(b[hi]))
+            next_ws[:-1] = is_ws[1:]
+            ends = np.nonzero(nonws & next_ws)[0] + 1
+            # w[j] = b[j] * C^{-(lo+j)} with GLOBAL exponents — tokens never
+            # span chunks, so only within-chunk prefix differences matter
+            invp = _pow_lookup(c_inv, np.arange(lo, hi, dtype=np.int64))
+            P = np.zeros(m + 1, dtype=np.uint64)
+            np.cumsum(cb * invp, out=P[1:])
+            raw = (P[ends] - P[starts]) * _pow_lookup(C, ends + (lo - 1))
+            lens = (ends - starts).astype(np.uint64)
+            h_parts.append(splitmix64(raw ^ (lens << _U64(48)) ^ seed_mix))
+            s_parts.append(starts.astype(np.int64) + lo)
+        lo = hi
+    if not h_parts:
+        return np.empty(0, np.uint64), np.empty(0, np.int64)
+    return np.concatenate(h_parts), np.concatenate(s_parts)
+
+
+def is_ws_byte(x) -> bool:
+    xi = int(x)
+    return xi in (32, 10, 9, 13, 11, 12)
+
+
+def _last_ws(b: np.ndarray, lo: int, hi: int) -> int:
+    """Index just after the last whitespace byte in b[lo:hi), or -1."""
+    cb = b[lo:hi]
+    ws = (cb == 32) | (cb == 10) | (cb == 9) | (cb == 13) | (cb == 11) | (cb == 12)
+    idx = np.nonzero(ws)[0]
+    if len(idx) == 0:
+        return -1
+    return lo + int(idx[-1]) + 1
+
+
+#: cached split power tables per base — the 512 KB lo table is built once
+#: per process instead of twice per tokenizer call.
+_POW_TABLES: dict[int, list[np.ndarray]] = {}
+
+
+def _pow_tables(base: np.uint64, max_hi: int) -> tuple[np.ndarray, np.ndarray]:
+    key = int(base)
+    cached = _POW_TABLES.get(key)
+    if cached is None:
+        lo_n = 1 << 16
+        lo = np.empty(lo_n, dtype=np.uint64)
+        lo[0] = _U64(1)
+        np.multiply.accumulate(np.full(lo_n - 1, base, dtype=np.uint64), out=lo[1:])
+        hi = np.empty(1, dtype=np.uint64)
+        hi[0] = _U64(1)
+        cached = [lo, hi]
+        _POW_TABLES[key] = cached
+    lo, hi = cached
+    if max_hi >= len(hi):
+        base_hi = (int(lo[-1]) * int(base)) & 0xFFFFFFFFFFFFFFFF  # base^(2^16)
+        new_hi = np.empty(max_hi + 1, dtype=np.uint64)
+        new_hi[: len(hi)] = hi
+        for i in range(len(hi), max_hi + 1):
+            # python-int multiply + mask: uint64 wraparound without the
+            # numpy scalar-overflow warning
+            new_hi[i] = (int(new_hi[i - 1]) * base_hi) & 0xFFFFFFFFFFFFFFFF
+        cached[1] = hi = new_hi
+    return lo, hi
 
 
 def _pow_lookup(base: np.uint64, exps: np.ndarray) -> np.ndarray:
-    """base**exps (uint64 wraparound) via split tables:
+    """base**exps (uint64 wraparound) via cached split tables:
     base^e = lo_table[e & 0xFFFF] * hi_table[e >> 16]."""
-    lo_n = 1 << 16
-    lo = np.empty(lo_n, dtype=np.uint64)
-    lo[0] = _U64(1)
-    np.multiply.accumulate(np.full(lo_n - 1, base, dtype=np.uint64), out=lo[1:])
     max_hi = int(exps.max()) >> 16 if len(exps) else 0
-    hi = np.empty(max_hi + 1, dtype=np.uint64)
-    hi[0] = _U64(1)
-    if max_hi:
-        base_hi = _U64((int(lo[-1]) * int(base)) & 0xFFFFFFFFFFFFFFFF)  # base^(2^16)
-        np.multiply.accumulate(
-            np.full(max_hi, base_hi, dtype=np.uint64), out=hi[1:]
-        )
+    lo, hi = _pow_tables(base, max_hi)
     return lo[exps & 0xFFFF] * hi[exps >> 16]
 
 
@@ -408,23 +472,35 @@ def simhash_batch(
     n_seg = len(starts)
     ends = np.append(starts[1:], N)
 
-    bitsum = np.zeros((n_seg, 64), dtype=np.float64)  # Σ w·bit per doc/bit
-    wsum = np.zeros(n_seg, dtype=np.float64)
-    shifts = np.arange(64, dtype=np.uint64)[None, :]
-    CHUNK = 1 << 15
+    # integer fast path: weights are shingle multiplicities (small ints) in
+    # the engine; exact int64 votes match the float oracle bit-for-bit.
+    # bits via unpackbits (uint8, little-endian bit order == bit position)
+    # then ONE (chunk × 64) int32 multiply — ~13x less DRAM traffic than
+    # the float64 bit matrix, and the chunk stays L2-resident.
+    int_ok = bool(
+        np.all(all_weights == np.floor(all_weights))
+        and (N == 0 or all_weights.max() < (1 << 15))
+    )
+    acc_t = np.int64 if int_ok else np.float64
+    w_cast = all_weights.astype(np.int32) if int_ok else all_weights
+    bitsum = np.zeros((n_seg, 64), dtype=acc_t)  # Σ w·bit per doc/bit
+    wsum = np.zeros(n_seg, dtype=acc_t)
+    CHUNK = 1 << 11
     for lo in range(0, N, CHUNK):
         hi = min(lo + CHUNK, N)
         sh = all_shingles[lo:hi]
-        w = all_weights[lo:hi]
-        bits = ((sh[:, None] >> shifts) & _U64(1)).astype(np.float64)
-        wb = w[:, None] * bits                                  # (C, 64)
+        w = w_cast[lo:hi]
+        bits = np.unpackbits(
+            sh.view(np.uint8).reshape(-1, 8), axis=1, bitorder="little"
+        )                                                       # (C, 64) uint8
+        wb = bits * w[:, None]                                  # (C, 64) int32
         mask = (starts < hi) & (ends > lo)
         idx = np.nonzero(mask)[0]
         if len(idx):
             seg_starts = np.clip(starts[idx] - lo, 0, hi - lo - 1)
             bitsum[idx] += np.add.reduceat(wb, seg_starts, axis=0)
             wsum[idx] += np.add.reduceat(w, seg_starts)
-    votes = 2.0 * bitsum - wsum[:, None]
+    votes = 2 * bitsum - wsum[:, None]
     pos = votes > 0
     weights_pow2 = np.left_shift(np.uint64(1), np.arange(64, dtype=np.uint64))
     fps = (pos.astype(np.uint64) * weights_pow2[None, :]).sum(axis=1, dtype=np.uint64)

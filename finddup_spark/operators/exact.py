@@ -16,10 +16,11 @@ progressive-compare kernel collapses into declarative aggregation):
    1, 256))`` — the analog of the reference's 256-byte first pass
    (``finddup.py:428``); a second cheap blocking level before full-text
    hashing. Off by default; bench decides (SURVEY.md §4 P2).
-3. **A2 content grouping**: ``groupBy(sha2(text, 256))`` with in-group
-   verification ``min(text) == max(text)`` — two aggregates prove all
-   members byte-equal without any pairwise compare (the reference's
-   chunk-equality loop, ``finddup.py:199-236``).
+3. **A2 content grouping**: window-aggregate over ``sha2(text, 256)``
+   with dual-digest verification — an independent ``xxhash64`` must also
+   be constant within the sha group (simultaneous collision ~2^-192).
+   Replaces the reference's pairwise chunk-equality loop
+   (``finddup.py:199-236``); text itself never shuffles.
 4. **A7 cluster ids**: ``cluster_id = min(doc_id)`` per group —
    deterministic, unlike the reference's insertion-order ints
    (``finddup.py:1007-1047``); only equality structure is comparable.
@@ -99,23 +100,32 @@ def exact_clusters(
     single = base.join(F.broadcast(multi), block_keys, "left_anti")
 
     # ---- A2/A7: content hash grouping + verification + min-id cluster ----
-    hashed = cand.withColumn("content_sha", F.sha2(F.col("__text"), 256))
-    agg_exprs = [
-        F.min(id_col).alias("cluster_id"),
-        F.count(F.lit(1)).alias("cluster_size"),
-    ]
-    if verify:
-        agg_exprs.append(
-            (F.min("__text") == F.max("__text")).alias("verified")
-        )
-    groups = hashed.groupBy("content_sha").agg(*agg_exprs)
-    if not verify:
-        groups = groups.withColumn("verified", F.lit(True))
+    # Hash at scan time and DROP the text before any shuffle: only ~50-byte
+    # rows move. Verification is dual-digest — within a sha-256 group, an
+    # independent xxhash64 must also be constant (simultaneous collision
+    # ~2^-192; the reference compares raw bytes, finddup.py:225, but
+    # shuffling full text twice to re-compare bytes is exactly what a
+    # 100 TB run can't afford). ONE window shuffle replaces the
+    # groupBy + join-back (which shuffled the text twice and scanned the
+    # source twice).
+    from pyspark.sql.window import Window
 
-    clustered = (
-        hashed.join(groups, "content_sha")
-        .select(*keep, F.col("cluster_id"), F.col("cluster_size"),
-                F.col("n_bytes"), F.col("verified"))
+    hashed = cand.select(
+        *keep,
+        F.col("n_bytes"),
+        F.sha2(F.col("__text"), 256).alias("content_sha"),
+        F.xxhash64(F.col("__text")).alias("__xx"),
+    )
+    w = Window.partitionBy("content_sha")
+    verified_col = (
+        (F.min("__xx").over(w) == F.max("__xx").over(w)) if verify else F.lit(True)
+    )
+    clustered = hashed.select(
+        *keep,
+        F.min(id_col).over(w).alias("cluster_id"),
+        F.count(F.lit(1)).over(w).alias("cluster_size"),
+        F.col("n_bytes"),
+        verified_col.alias("verified"),
     )
     singles = single.select(
         *keep,

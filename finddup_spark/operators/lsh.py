@@ -141,6 +141,16 @@ def verify_pairs(
     texts = pages.filter(F.col(text_col).isNotNull()).select(
         F.col(id_col).cast("long").alias(id_col), F.col(text_col).alias("__t")
     )
+    # prune texts to pair participants BEFORE shuffling them: candidate
+    # pairs touch a small fraction of the corpus, and the participant-id
+    # set is broadcast-sized even at 10^12 docs (edges ≈ dup pairs), so
+    # this turns two full-corpus text shuffles into two small ones.
+    participants = (
+        pairs.select(F.col("src").alias(id_col))
+        .unionByName(pairs.select(F.col("dst").alias(id_col)))
+        .distinct()
+    )
+    texts = texts.join(F.broadcast(participants), id_col, "left_semi")
     withs = (
         pairs.join(texts.withColumnRenamed(id_col, "src").withColumnRenamed("__t", "t_src"), "src")
         .join(texts.withColumnRenamed(id_col, "dst").withColumnRenamed("__t", "t_dst"), "dst")

@@ -113,6 +113,13 @@ def rollup_dirs(
         dirs_d = _level_agg(level_children).withColumn("depth", F.lit(d))
         if checkpoint:
             dirs_d = dirs_d.localCheckpoint(eager=True)
+        else:
+            # persist each level: level d's rows are consumed BOTH by the
+            # final union and by level d-1's aggregation — uncached, every
+            # level re-evaluates its whole downstream chain (leaf join +
+            # pages scan re-run ~depth times). Dir rows are constant-width
+            # and tiny relative to pages.
+            dirs_d = dirs_d.persist()
         all_dirs.append(dirs_d)
         if d > 1:
             # a dir becomes a child row of its own parent one level up

@@ -146,18 +146,23 @@ class DedupPipeline:
         out = self.spark.read.parquet(self._path(stage))
         wall_ms = int((time.monotonic() - t0) * 1000)
         # per-partition metrics (the lineage generalization of the
-        # reference's progress lines, finddup.py:880-884); collected to the
-        # driver (one tiny row per partition) and flushed in one write at
-        # the end of the run — metrics must not cost a job per stage
-        per_part = (
-            out.groupBy(F.spark_partition_id().alias("partition_id"))
-            .agg(F.count(F.lit(1)).alias("rows"))
-            .collect()
+        # reference's progress lines, finddup.py:880-884): one output file
+        # == one write partition, and parquet footers carry exact row
+        # counts — read driver-side in milliseconds, NO extra Spark job
+        # per stage (the previous groupBy(spark_partition_id) job re-read
+        # the whole stage output)
+        import glob
+
+        import pyarrow.parquet as pq
+
+        files = sorted(
+            glob.glob(os.path.join(self._path(stage), "**", "*.parquet"), recursive=True)
         )
         n = 0
-        for r in per_part:
-            n += r.rows
-            self._lineage_rows.append((stage, int(r.partition_id), int(r.rows), wall_ms, "ok"))
+        for pid, fpath in enumerate(files):
+            rows = pq.ParquetFile(fpath).metadata.num_rows
+            n += rows
+            self._lineage_rows.append((stage, pid, int(rows), wall_ms, "ok"))
         run.stages.append(StageResult(stage, n, wall_ms, skipped=False))
         return out
 
@@ -191,11 +196,14 @@ class DedupPipeline:
         reps = exact.filter(F.col("doc_id") == F.col("cluster_id")).select("doc_id")
         rep_pages = valid_pages(kept).join(reps, "doc_id", "left_semi")
 
+        # no repartition before write: the UDF's scan partitioning is
+        # already balanced, and no downstream consumer joins on doc_id
+        # distribution — a full shuffle of the signature binaries bought
+        # nothing (bands re-shuffles by band key, clusters by cluster key)
         sigs = self._write_stage(
             run,
             "signatures",
             lambda: compute_signatures(rep_pages, cfg),
-            "doc_id",
         )
         bands = self._write_stage(
             run,
@@ -211,8 +219,16 @@ class DedupPipeline:
         )
 
         def _edges() -> DataFrame:
+            # persist: rep texts feed the minhash verify, the winnowing
+            # fingerprints, AND the substring verify — without the cache
+            # each re-scans the pages source + re-runs the semi-join
+            texts = rep_pages.select("doc_id", "text").persist()
             pairs, stats = candidate_pairs(bands, cfg)
-            mh_edges = verify_pairs(pairs, rep_pages, cfg, method="minhash")
+            pairs = pairs.persist()
+            # persist: mh_edges is consumed twice (union + the left_anti
+            # below) — without it the whole text-join + Jaccard UDF runs
+            # twice (measured ~2x on the edges stage)
+            mh_edges = verify_pairs(pairs, texts, cfg, method="minhash").persist()
             exact_edges = (
                 exact.filter(
                     (F.col("cluster_size") > 1) & (F.col("doc_id") != F.col("cluster_id"))
@@ -226,23 +242,32 @@ class DedupPipeline:
             )
             all_edges = mh_edges.unionByName(exact_edges)
             if self.enable_substring:
-                fps = fingerprints(rep_pages, cfg)
+                fps = fingerprints(texts, cfg)
                 sub_pairs, _sub_stats = substring_candidates(fps, cfg)
                 # skip pairs minhash already found (left_anti — J2 analog)
                 fresh = sub_pairs.join(
                     mh_edges.select("src", "dst"), ["src", "dst"], "left_anti"
                 )
-                sub_edges = verify_substring_pairs(fresh, rep_pages, cfg)
+                sub_edges = verify_substring_pairs(fresh, texts, cfg)
                 all_edges = all_edges.unionByName(sub_edges)
-            # skew stats → lineage (single row, batched with the metrics)
+            # skew stats collected AFTER the write (run() below): the write
+            # materializes the persisted band tables, so the stats agg is
+            # then nearly free instead of a serial pre-write job
+            self._edge_stats = stats
+            return all_edges
+
+        edges = self._write_stage(run, "edges", _edges, "src")
+        stats = getattr(self, "_edge_stats", None)
+        if stats is not None:
             st = stats.collect()[0]
             self._lineage_rows.append((
                 "edges", -1, int(st.pairs_truncated_upper_bound or 0), 0,
                 f"hot_buckets={st.hot_buckets} max_bucket={st.max_bucket}",
             ))
-            return all_edges
-
-        edges = self._write_stage(run, "edges", _edges, "src")
+            self._edge_stats = None
+        # the edges stage is the last consumer of every cached intermediate
+        # (rep texts, pairs, mh_edges, salted band tables)
+        self.spark.catalog.clearCache()
 
         def _clusters() -> DataFrame:
             verts = sigs.select("doc_id")
@@ -276,6 +301,7 @@ class DedupPipeline:
 
             self._write_stage(run, "dirs", _dirs, "dir_sig")
         self._flush_lineage()
+        self.spark.catalog.clearCache()  # drop per-level rollup caches
         return run
 
     def lineage(self) -> DataFrame:

@@ -33,6 +33,13 @@ def get_spark(
         os.environ["PYTHONPATH"] = (
             pkg_root + (os.pathsep + existing if existing else "")
         )
+    # glibc: serve numpy's multi-MB temporaries from the reusable heap
+    # instead of per-call mmap/munmap — at 32 concurrent UDF workers the
+    # page-fault storm contends on kernel zone locks (measured 2x on the
+    # signature kernel). Inherited by executor JVM → python workers.
+    os.environ.setdefault("MALLOC_MMAP_THRESHOLD_", "1073741824")
+    os.environ.setdefault("MALLOC_TRIM_THRESHOLD_", "1073741824")
+    os.environ.setdefault("MALLOC_MMAP_MAX_", "0")
     b = (
         SparkSession.builder.master(f"local[{cores}]")
         .appName(app_name)
@@ -42,6 +49,10 @@ def get_spark(
         .config("spark.sql.adaptive.skewJoin.enabled", "true")
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
         .config("spark.sql.execution.arrow.maxRecordsPerBatch", "4096")
+        # text-dedup stages are compute-dense per byte: smaller scan splits
+        # keep all cores busy on medium inputs; at 100 TB the input has
+        # thousands of splits either way and AQE coalesces the excess.
+        .config("spark.sql.files.maxPartitionBytes", "33554432")
         .config("spark.sql.session.timeZone", "UTC")
         .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEM", "8g"))
         .config("spark.ui.enabled", "false")
