@@ -207,9 +207,103 @@ def _q_nation_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _q_ignored_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """F1 ignore-name filter (finddup.py:170-174, 681-687) over synthesized
+    urls: per-source kept/ignored counts via the engine's split_ignored."""
+    from finddup_spark.operators.exact import split_ignored
+
+    d = _docs(spark, sf_dir).select(
+        "doc_id",
+        "source",
+        F.when(F.pmod("doc_id", 7) == 0, F.concat("source", F.lit("/robots.txt")))
+        .when(F.pmod("doc_id", 7) == 1, F.concat("source", F.lit("/.DS_Store")))
+        .otherwise(
+            F.concat("source", F.lit("/p"), F.col("doc_id").cast("string"), F.lit(".html"))
+        )
+        .alias("url"),
+    )
+    kept, ignored = split_ignored(d)
+    both = kept.withColumn("is_kept", F.lit(1)).unionByName(
+        ignored.withColumn("is_kept", F.lit(0))
+    )
+    return both.groupBy("source").agg(
+        F.sum("is_kept").cast("long").alias("n_kept"),
+        F.sum(1 - F.col("is_kept")).cast("long").alias("n_ignored"),
+    )
+
+
+def _q_group_size_freq(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A6 group-size frequency histogram (get_frequencies,
+    finddup.py:630-664) over content-hash groups."""
+    return (
+        _docs(spark, sf_dir)
+        .groupBy(F.sha2("text", 256).alias("h"))
+        .agg(F.count(F.lit(1)).alias("group_size"))
+        .groupBy("group_size")
+        .agg(F.count(F.lit(1)).alias("n_groups"))
+    )
+
+
+def _q_uniques_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """O2 uniques report (finddup.py:1199-1205): docs whose content
+    appears exactly once, with byte size."""
+    d = _docs(spark, sf_dir).select(
+        "doc_id", F.sha2("text", 256).alias("h"), F.octet_length("text").cast("long").alias("n_bytes")
+    )
+    from pyspark.sql.window import Window
+
+    w = Window.partitionBy("h")
+    return (
+        d.withColumn("cnt", F.count(F.lit(1)).over(w))
+        .filter(F.col("cnt") == 1)
+        .select("doc_id", "n_bytes")
+    )
+
+
+def _q_human_sizes(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """C1 num2eng analog (finddup.py:90-116): dup groups with k=1024
+    human-formatted sizes, engine column expression vs SQL CASE."""
+    from finddup_spark.functions.report import human_bytes
+
+    d = _docs(spark, sf_dir).select(
+        F.sha2("text", 256).alias("h"), F.octet_length("text").cast("long").alias("n_bytes")
+    )
+    return (
+        d.groupBy("h")
+        .agg(F.count(F.lit(1)).alias("n_members"), F.max("n_bytes").alias("nb"))
+        .filter(F.col("n_members") > 1)
+        .select("h", "n_members", human_bytes("nb").alias("human_size"))
+    )
+
+
+def _q_incremental_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """F6 / §2.9 incremental dedup: merge a second batch (odd doc_ids)
+    against state built from the first (even doc_ids) — first-seen-wins
+    cluster assignment via streaming.incremental.merge_batch."""
+    import tempfile
+
+    from finddup_spark.streaming.incremental import merge_batch
+
+    d = _docs(spark, sf_dir).select("doc_id", "text")
+    out = tempfile.mkdtemp(prefix="entry_incr_")
+    merge_batch(spark, d.filter(F.pmod("doc_id", 2) == 0), out)
+    res = merge_batch(spark, d.filter(F.pmod("doc_id", 2) == 1), out)
+    return res.select(
+        "doc_id",
+        F.col("cluster_id").cast("long").alias("cluster_id"),
+        F.col("keep").cast("string").alias("keep"),
+    )
+
+
 # ---- rows-only (non-SQL-expressible: vectorized UDF signatures, CC
 # iterations, LSH re-rank, multimodal plumbing) — covered by the mirror
 # oracle and reference-CLI tests instead ----
+
+def _q_embedding_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding-cosine near-dup clusters (rows-only: CC iterations)."""
+    from finddup_spark.operators.dedup import embedding_cosine_dedup
+
+    return embedding_cosine_dedup(_emb(spark, sf_dir))
 
 def _q_minhash_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     from finddup_spark.operators.dedup import minhash_dedup
@@ -312,6 +406,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ann_topk": _q_ann_topk,
         "events_dedup": _q_events_dedup,
         "nation_revenue": _q_nation_revenue,
+        "ignored_split": _q_ignored_split,
+        "group_size_freq": _q_group_size_freq,
+        "uniques_report": _q_uniques_report,
+        "human_sizes": _q_human_sizes,
+        "incremental_merge": _q_incremental_merge,
+        "embedding_dedup": _q_embedding_dedup,
         "minhash_dedup": _q_minhash_dedup,
         "simhash_dedup": _q_simhash_dedup,
         "lsh_topk": _q_lsh_topk,
@@ -524,5 +624,65 @@ def oracle_sql() -> dict[str, str]:
             FROM documents
             WHERE sha256(text) NOT IN (SELECT h FROM dups)
             GROUP BY 1
+        """,
+        "ignored_split": """
+            SELECT source,
+                   CAST(sum(CASE WHEN doc_id % 7 IN (0, 1) THEN 0 ELSE 1 END) AS BIGINT) AS n_kept,
+                   CAST(sum(CASE WHEN doc_id % 7 IN (0, 1) THEN 1 ELSE 0 END) AS BIGINT) AS n_ignored
+            FROM documents
+            GROUP BY source
+        """,
+        "group_size_freq": """
+            WITH g AS (
+                SELECT sha256(text) AS h, count(*) AS group_size
+                FROM documents GROUP BY 1
+            )
+            SELECT group_size, count(*) AS n_groups
+            FROM g GROUP BY 1
+        """,
+        "uniques_report": """
+            WITH g AS (
+                SELECT sha256(text) AS h FROM documents
+                GROUP BY 1 HAVING count(*) = 1
+            )
+            SELECT d.doc_id, CAST(octet_length(encode(d.text)) AS BIGINT) AS n_bytes
+            FROM documents d JOIN g ON sha256(d.text) = g.h
+        """,
+        "human_sizes": """
+            WITH g AS (
+                SELECT sha256(text) AS h,
+                       count(*) AS n_members,
+                       max(octet_length(encode(text))) AS nb
+                FROM documents GROUP BY 1 HAVING count(*) > 1
+            )
+            SELECT h, n_members,
+                   rtrim(CASE
+                     WHEN nb < 1024 THEN CAST(round(nb / 1.0, 1) AS VARCHAR) || ' '
+                     WHEN nb < 1048576 THEN CAST(round(nb / 1024.0, 1) AS VARCHAR) || ' k'
+                     WHEN nb < 1073741824 THEN CAST(round(nb / 1048576.0, 1) AS VARCHAR) || ' M'
+                     WHEN nb < 1099511627776 THEN CAST(round(nb / 1073741824.0, 1) AS VARCHAR) || ' G'
+                     WHEN nb < 1125899906842624 THEN CAST(round(nb / 1099511627776.0, 1) AS VARCHAR) || ' T'
+                     ELSE CAST(round(nb / 1125899906842624.0, 1) AS VARCHAR) || ' P'
+                   END) AS human_size
+            FROM g
+        """,
+        "incremental_merge": """
+            WITH h AS (
+                SELECT doc_id, sha256(text) AS hsh FROM documents
+                WHERE text IS NOT NULL
+            ),
+            s1 AS (
+                SELECT hsh, min(doc_id) AS cluster_id FROM h
+                WHERE doc_id % 2 = 0 GROUP BY 1
+            ),
+            b2 AS (SELECT doc_id, hsh FROM h WHERE doc_id % 2 = 1),
+            fresh AS (
+                SELECT hsh, min(doc_id) AS cluster_id FROM b2
+                WHERE hsh NOT IN (SELECT hsh FROM s1) GROUP BY 1
+            ),
+            state AS (SELECT * FROM s1 UNION ALL SELECT * FROM fresh)
+            SELECT b2.doc_id, state.cluster_id,
+                   CAST(b2.doc_id = state.cluster_id AS VARCHAR) AS keep
+            FROM b2 JOIN state USING (hsh)
         """,
     }
