@@ -155,6 +155,12 @@ def verify_pairs(
         pairs.join(texts.withColumnRenamed(id_col, "src").withColumnRenamed("__t", "t_src"), "src")
         .join(texts.withColumnRenamed(id_col, "dst").withColumnRenamed("__t", "t_dst"), "dst")
     )
+    # the pair table is tiny in BYTES (two longs/row) but compute-dense in
+    # the Python verify below — AQE's byte-based coalescing would pack it
+    # into ~1 partition and serialize the UDF. Explicit numPartitions
+    # (which AQE respects) spreads verify across the cluster.
+    n_part = pairs.sparkSession.sparkContext.defaultParallelism * 2
+    withs = withs.repartition(n_part)
     thr = cfg.verify_jaccard
     out_schema = StructType(
         [

@@ -97,7 +97,10 @@ def rollup_dirs(
     post-order DFS).
     """
     depth_of = F.size(F.split("parent", "/"))
-    leaves = leaf_rows.withColumn("depth", depth_of)
+    # persist the leaf rows ONCE: every level filters them by depth, and
+    # without the cache each level re-runs the whole leaf chain (pages
+    # scan + clusters join) — measured as both slow AND high-variance.
+    leaves = leaf_rows.withColumn("depth", depth_of).persist()
     max_depth = leaves.agg(F.max("depth")).collect()[0][0]
     if max_depth is None:
         return spark.createDataFrame(
@@ -105,32 +108,33 @@ def rollup_dirs(
         )
 
     all_dirs = []
-    pending = leaves  # child rows awaiting aggregation, tagged with depth
+    # only the PARENT rows produced by the level below thread level-to-
+    # level (constant-width, ~|dirs at that level|); the old growing
+    # `pending` union made level d re-scan every earlier level's plan.
+    parents_next: DataFrame | None = None
     for d in range(int(max_depth), 0, -1):
-        level_children = pending.filter(F.col("depth") == d).select(
+        level_children = leaves.filter(F.col("depth") == d).select(
             "parent", "child_sig", "n_bytes"
         )
+        if parents_next is not None:
+            level_children = level_children.unionByName(parents_next)
         dirs_d = _level_agg(level_children).withColumn("depth", F.lit(d))
         if checkpoint:
             dirs_d = dirs_d.localCheckpoint(eager=True)
         else:
-            # persist each level: level d's rows are consumed BOTH by the
-            # final union and by level d-1's aggregation — uncached, every
-            # level re-evaluates its whole downstream chain (leaf join +
-            # pages scan re-run ~depth times). Dir rows are constant-width
-            # and tiny relative to pages.
             dirs_d = dirs_d.persist()
         all_dirs.append(dirs_d)
         if d > 1:
             # a dir becomes a child row of its own parent one level up
-            parent_rows = dirs_d.select(
+            parents_next = dirs_d.select(
                 F.expr(
                     "array_join(slice(split(path, '/'), 1, size(split(path, '/')) - 1), '/')"
                 ).alias("parent"),
                 F.col("dir_sig").alias("child_sig"),
                 "n_bytes",
-            ).withColumn("depth", F.lit(d - 1))
-            pending = pending.unionByName(parent_rows)
+            )
+        else:
+            parents_next = None
 
     out = all_dirs[0]
     for dfr in all_dirs[1:]:

@@ -50,7 +50,10 @@ LINEAGE_SCHEMA = (
 
 #: canonical stage order — used by invalidate() to cascade downstream
 STAGE_ORDER = [
-    "exact_clusters", "errors", "signatures", "bands", "edges", "clusters", "dirs"
+    "exact_clusters", "errors", "signatures", "bands",
+    "edges_work/mh_pairs", "edges_work/mh_pairs_stats",
+    "edges_work/mh_edges", "edges_work/sub_pairs", "edges_work/sub_edges",
+    "edges", "clusters", "dirs",
 ]
 
 
@@ -218,17 +221,49 @@ class DedupPipeline:
             partition_cols=["band_prefix"],
         )
 
+        # ---- edges tier, as materialized SUB-stages -------------------
+        # One monolithic edges DAG (persist-lazy union of minhash verify +
+        # winnowing + substring verify) measured ~2x slower than running
+        # the same sub-steps as separate materialized jobs: concurrent
+        # stages of the one job race to populate the shared caches and
+        # recompute partitions. Sub-stage tables also give finer-grained
+        # resume (a crash mid-substring keeps the verified minhash edges)
+        # — the north rule's "any stage resumes without recompute".
+        # rep texts stay a memory persist (first sub-stage populates it,
+        # later ones reuse; sequential jobs → no cache race).
+        texts = rep_pages.select("doc_id", "text").persist()
+
+        pairs, stats = candidate_pairs(bands, cfg)
+        pairs = self._write_stage(run, "edges_work/mh_pairs", lambda: pairs)
+        if not (self.resume and self._done("edges_work/mh_pairs_stats")):
+            st = stats.collect()[0]
+            self._lineage_rows.append((
+                "edges", -1, int(st.pairs_truncated_upper_bound or 0), 0,
+                f"hot_buckets={st.hot_buckets} max_bucket={st.max_bucket}",
+            ))
+            os.makedirs(self._path("edges_work/mh_pairs_stats"), exist_ok=True)
+            open(os.path.join(self._path("edges_work/mh_pairs_stats"), "_SUCCESS"), "w").close()
+        mh_edges = self._write_stage(
+            run, "edges_work/mh_edges",
+            lambda: verify_pairs(pairs, texts, cfg, method="minhash"),
+        )
+        sub_edges = None
+        if self.enable_substring:
+            fps = fingerprints(texts, cfg)
+            sub_pairs_df, _sub_stats = substring_candidates(fps, cfg)
+            sub_pairs = self._write_stage(
+                run, "edges_work/sub_pairs",
+                # skip pairs minhash already found (left_anti — J2 analog)
+                lambda: sub_pairs_df.join(
+                    mh_edges.select("src", "dst"), ["src", "dst"], "left_anti"
+                ),
+            )
+            sub_edges = self._write_stage(
+                run, "edges_work/sub_edges",
+                lambda: verify_substring_pairs(sub_pairs, texts, cfg),
+            )
+
         def _edges() -> DataFrame:
-            # persist: rep texts feed the minhash verify, the winnowing
-            # fingerprints, AND the substring verify — without the cache
-            # each re-scans the pages source + re-runs the semi-join
-            texts = rep_pages.select("doc_id", "text").persist()
-            pairs, stats = candidate_pairs(bands, cfg)
-            pairs = pairs.persist()
-            # persist: mh_edges is consumed twice (union + the left_anti
-            # below) — without it the whole text-join + Jaccard UDF runs
-            # twice (measured ~2x on the edges stage)
-            mh_edges = verify_pairs(pairs, texts, cfg, method="minhash").persist()
             exact_edges = (
                 exact.filter(
                     (F.col("cluster_size") > 1) & (F.col("doc_id") != F.col("cluster_id"))
@@ -241,30 +276,11 @@ class DedupPipeline:
                 )
             )
             all_edges = mh_edges.unionByName(exact_edges)
-            if self.enable_substring:
-                fps = fingerprints(texts, cfg)
-                sub_pairs, _sub_stats = substring_candidates(fps, cfg)
-                # skip pairs minhash already found (left_anti — J2 analog)
-                fresh = sub_pairs.join(
-                    mh_edges.select("src", "dst"), ["src", "dst"], "left_anti"
-                )
-                sub_edges = verify_substring_pairs(fresh, texts, cfg)
+            if sub_edges is not None:
                 all_edges = all_edges.unionByName(sub_edges)
-            # skew stats collected AFTER the write (run() below): the write
-            # materializes the persisted band tables, so the stats agg is
-            # then nearly free instead of a serial pre-write job
-            self._edge_stats = stats
             return all_edges
 
         edges = self._write_stage(run, "edges", _edges, "src")
-        stats = getattr(self, "_edge_stats", None)
-        if stats is not None:
-            st = stats.collect()[0]
-            self._lineage_rows.append((
-                "edges", -1, int(st.pairs_truncated_upper_bound or 0), 0,
-                f"hot_buckets={st.hot_buckets} max_bucket={st.max_bucket}",
-            ))
-            self._edge_stats = None
         # the edges stage is the last consumer of every cached intermediate
         # (rep texts, pairs, mh_edges, salted band tables)
         self.spark.catalog.clearCache()
@@ -293,10 +309,11 @@ class DedupPipeline:
         if "url" in pages.columns:
             def _dirs() -> DataFrame:
                 leaf = page_leaf_rows(kept, clusters)
-                # checkpoint=False: url depth is bounded (<20), so the
-                # unioned per-level plan stays small — saves one eager
-                # job per level of serial driver time
-                dirs = rollup_dirs(self.spark, leaf, checkpoint=False)
+                # checkpoint=True: leaves are cached, so each level's
+                # eager job is tiny — and the write-time plan stays flat
+                # instead of a depth-deep nested union (measured: the
+                # lazy variant was both slower and high-variance)
+                dirs = rollup_dirs(self.spark, leaf, checkpoint=True)
                 return analyze_dirs(dirs)
 
             self._write_stage(run, "dirs", _dirs, "dir_sig")
