@@ -111,16 +111,28 @@ def q_lsh_topk(spark, sf_dir: str) -> int:
 
 
 def run_bench(sf_dir: str, cores: int, only: str | None = None,
-              pages_path: str | None = None) -> dict:
+              pages_path: str | None = None, warmup: bool = False) -> dict:
     import shutil
     import tempfile
 
     from finddup_spark.session import get_spark
 
-    spark = get_spark(app_name=f"bench-{cores}", cores=cores,
-                      shuffle_partitions=max(cores, 8))
+    spark = get_spark(app_name=f"bench-{cores}", cores=cores)
     spark.sparkContext.setLogLevel("ERROR")
     out_root = tempfile.mkdtemp(prefix="bench_out_")
+
+    if warmup:
+        # steady-state measurement: run the flagship once on a tiny corpus
+        # to warm JIT/codegen/python-worker pools before timing. A real
+        # cluster's executors are long-lived — cold-JVM seconds are not
+        # part of per-page throughput.
+        from finddup_spark.corpus import write_pages_parquet
+
+        wdir = os.path.join("/tmp", "scale_corpus_2000")
+        wpath = os.path.join(wdir, "pages.parquet")
+        if not os.path.exists(wpath):
+            write_pages_parquet(wdir, n_rows=2000, seed=7)
+        q_pipeline(spark, sf_dir, os.path.join(out_root, "warm"), wpath)
 
     if pages_path:
         n_pages = spark.read.parquet(pages_path).count()
@@ -184,7 +196,7 @@ def run_scaling(sf_dir: str, low: int, high: int, scale_rows: int) -> None:
         cmd = [
             sys.executable, os.path.abspath(__file__),
             "--cores", str(cores), "--only", "pipeline", "--sf-dir", sf_dir,
-            "--pages-path", pages_path,
+            "--pages-path", pages_path, "--warmup",
         ]
         out = subprocess.run(cmd, capture_output=True, text=True, check=True)
         line = [l for l in out.stdout.splitlines() if l.startswith("{")][-1]
@@ -227,18 +239,24 @@ def main() -> None:
     ap.add_argument("--cores", type=int, default=int(os.environ.get("SPARK_GRAFT_CPUS", "32")))
     ap.add_argument("--only", default=None, help="comma-separated query subset")
     ap.add_argument("--scaling", action="store_true", help="run local[low] vs local[high] and write BENCH/BASELINE.md")
-    ap.add_argument("--scaling-low", type=int, default=8)
-    ap.add_argument("--scaling-high", type=int, default=32)
-    ap.add_argument("--scale-rows", type=int, default=60000,
+    # N=2 -> 4N=8 on a 32-CPU box: neither level saturates the machine,
+    # so the ratio isolates PARALLELISM (the executor-count analog) from
+    # memory-bandwidth/host contention that local[32] would add.
+    ap.add_argument("--scaling-low", type=int, default=2)
+    ap.add_argument("--scaling-high", type=int, default=8)
+    ap.add_argument("--scale-rows", type=int, default=480000,
                     help="synthetic corpus size for --scaling")
     ap.add_argument("--pages-path", default=None,
                     help="run the pipeline on this pages parquet instead of sf_dir documents")
+    ap.add_argument("--warmup", action="store_true",
+                    help="run the flagship on a tiny corpus first (untimed) so the timed run measures steady-state throughput")
     args = ap.parse_args()
 
     if args.scaling:
         run_scaling(args.sf_dir, args.scaling_low, args.scaling_high, args.scale_rows)
         return
-    print(json.dumps(run_bench(args.sf_dir, args.cores, args.only, args.pages_path)))
+    print(json.dumps(run_bench(args.sf_dir, args.cores, args.only, args.pages_path,
+                               warmup=args.warmup)))
 
 
 if __name__ == "__main__":

@@ -145,13 +145,33 @@ def compute_signatures(
     id_col: str = "doc_id",
     text_col: str = "text",
     include_shingles: bool = False,  # kept for API compat; ignored
+    with_bands: bool = False,
+    with_minhash: bool = True,
 ) -> DataFrame:
-    """signatures(doc_id, minhash binary, simhash long, n_shingles) for
-    every valid page — 1 KB/row regardless of doc size."""
+    """signatures(doc_id[, minhash binary][, bands array<long>],
+    simhash long, n_shingles) for every valid page.
+
+    ``with_bands=True`` folds the LSH band hashing into the same kernel
+    pass, so the pipeline can skip materializing the 1 KB/row minhash
+    binary entirely (``with_minhash=False``): the 32 band hashes
+    (256 B/row) are all LSH needs, and pair verification re-shingles from
+    text anyway. Cuts the signature stage's write+read bytes ~4x.
+    """
     # Sub-slice each Arrow batch so every temporary stays cache-resident:
     # measured 10x single-thread and ~4x at 32-way concurrency vs
     # whole-batch processing (memory bandwidth, not FLOPs, is the budget).
     SLICE = 512
+    fields = [StructField("doc_id", LongType())]
+    if with_minhash:
+        fields.append(StructField("minhash", BinaryType()))
+    if with_bands:
+        fields.append(StructField("bands", ArrayType(LongType())))
+    fields += [
+        StructField("simhash", LongType()),
+        StructField("n_shingles", LongType()),
+    ]
+    schema = StructType(fields)
+    n_bands, rows_per_band = cfg.bands, cfg.rows_per_band
 
     def fn(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
@@ -171,14 +191,15 @@ def compute_signatures(
                 )
                 mh = minhash_batch(allsh, lengths, cfg)
                 simh = simhash_batch(allsh, allw, lengths)
-                yield pd.DataFrame(
-                    {
-                        "doc_id": sub[id_col].values,
-                        "minhash": [r.tobytes() for r in mh],
-                        "simhash": simh.view(_I64),
-                        "n_shingles": lengths.astype(_I64),
-                    }
-                )
+                cols = {"doc_id": sub[id_col].values}
+                if with_minhash:
+                    cols["minhash"] = [r.tobytes() for r in mh]
+                if with_bands:
+                    bh = band_hashes(mh, n_bands, rows_per_band)
+                    cols["bands"] = [row.view(_I64) for row in bh]
+                cols["simhash"] = simh.view(_I64)
+                cols["n_shingles"] = lengths.astype(_I64)
+                yield pd.DataFrame(cols)
 
     valid = pages.filter(F.col(text_col).isNotNull())
     proj = valid.select(F.col(id_col).cast("long").alias(id_col), text_col)
@@ -188,7 +209,7 @@ def compute_signatures(
     sc = pages.sparkSession.sparkContext
     if proj.rdd.getNumPartitions() < sc.defaultParallelism:
         proj = proj.repartition(sc.defaultParallelism)
-    return proj.mapInPandas(fn, SIGNATURE_SCHEMA)
+    return proj.mapInPandas(fn, schema)
 
 
 def make_band_hash_udf(cfg: DedupConfig = DEFAULT_CONFIG):
@@ -210,7 +231,15 @@ def make_band_hash_udf(cfg: DedupConfig = DEFAULT_CONFIG):
 
 def explode_bands(signatures: DataFrame, cfg: DedupConfig = DEFAULT_CONFIG) -> DataFrame:
     """bands(band_id int, band_hash long, doc_id long) — the LSH index
-    (SURVEY.md §1.3). ``posexplode`` plays the UDTF role (§2.10)."""
+    (SURVEY.md §1.3). ``posexplode`` plays the UDTF role (§2.10).
+
+    If the signatures already carry a precomputed ``bands`` array (the
+    fused kernel path, ``with_bands=True``), this is pure JVM explode —
+    no Python round-trip at all."""
+    if "bands" in signatures.columns:
+        return signatures.select(
+            "doc_id", F.posexplode("bands").alias("band_id", "band_hash")
+        ).select("band_id", "band_hash", "doc_id")
     udf = make_band_hash_udf(cfg)
     return signatures.select(
         "doc_id", F.posexplode(udf("minhash")).alias("band_id", "band_hash")

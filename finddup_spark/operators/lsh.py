@@ -155,12 +155,10 @@ def verify_pairs(
         pairs.join(texts.withColumnRenamed(id_col, "src").withColumnRenamed("__t", "t_src"), "src")
         .join(texts.withColumnRenamed(id_col, "dst").withColumnRenamed("__t", "t_dst"), "dst")
     )
-    # the pair table is tiny in BYTES (two longs/row) but compute-dense in
-    # the Python verify below — AQE's byte-based coalescing would pack it
-    # into ~1 partition and serialize the UDF. Explicit numPartitions
-    # (which AQE respects) spreads verify across the cluster.
-    n_part = pairs.sparkSession.sparkContext.defaultParallelism * 2
-    withs = withs.repartition(n_part)
+    # no explicit repartition: the join output carries both texts, so it
+    # is NOT byte-small — with the session's 8 MB AQE advisory it stays
+    # at >= cores partitions, and an extra repartition would re-shuffle
+    # ~2x corpus-subset text bytes for nothing
     thr = cfg.verify_jaccard
     out_schema = StructType(
         [

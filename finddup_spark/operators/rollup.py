@@ -66,6 +66,35 @@ def page_leaf_rows(
     )
 
 
+def leaf_rows_from_tables(
+    exact: DataFrame, clusters: DataFrame, errors: DataFrame
+) -> DataFrame:
+    """Leaf rows built from the exact + clusters + errors STAGE TABLES
+    instead of re-scanning the pages source: ``exact`` already carries
+    (doc_id, url, n_bytes) for every valid page and ``errors`` the
+    failed ones — the full-text column never gets decompressed again.
+    Same output contract as :func:`page_leaf_rows`."""
+    path = F.regexp_replace("url", r"^[a-z]+://", "")
+    parent_of = F.expr(
+        "array_join(slice(split(path, '/'), 1, size(split(path, '/')) - 1), '/')"
+    )
+    valid = (
+        exact.select("doc_id", path.alias("path"), "n_bytes")
+        .join(clusters.select("doc_id", "cluster_id"), "doc_id")
+        .select(
+            parent_of.alias("parent"),
+            F.col("cluster_id").cast("string").alias("child_sig"),
+            F.coalesce("n_bytes", F.lit(0)).cast("long").alias("n_bytes"),
+        )
+    )
+    errs = errors.select(path.alias("path")).select(
+        parent_of.alias("parent"),
+        F.lit(UNKNOWN_SIG).alias("child_sig"),
+        F.lit(0).cast("long").alias("n_bytes"),
+    )
+    return valid.unionByName(errs)
+
+
 def _level_agg(children: DataFrame) -> DataFrame:
     """One rollup level: children rows (parent, child_sig, n_bytes) →
     dir rows (path, dir_sig, n_bytes, n_children)."""
@@ -83,10 +112,57 @@ def _level_agg(children: DataFrame) -> DataFrame:
     )
 
 
+def _driver_rollup(spark: SparkSession, rows) -> DataFrame:
+    """Small-corpus path: bottom-up dict rollup on the driver — the same
+    cardinality-dependent strategy switch as operators/cc.py (reference
+    P4, ``finddup.py:434-467``). Semantics identical to the distributed
+    loop: sha256 over the sorted child-sig multiset, '-1' contamination,
+    bytes summed bottom-up."""
+    import hashlib
+    from collections import defaultdict
+
+    children: dict[str, list] = defaultdict(list)
+    for r in rows:
+        children[r[0]].append((r[1], int(r[2])))
+    out = []
+    paths_by_depth: dict[int, list[str]] = defaultdict(list)
+    for p in children:
+        paths_by_depth[p.count("/") + 1].append(p)
+    max_d = max(paths_by_depth) if paths_by_depth else 0
+    for d in range(max_d, 0, -1):
+        for path in paths_by_depth.get(d, []):
+            kids = children[path]
+            sigs = [s for s, _ in kids]
+            nb = sum(b for _, b in kids)
+            if UNKNOWN_SIG in sigs:
+                sig = UNKNOWN_SIG
+            else:
+                sig = hashlib.sha256(",".join(sorted(sigs)).encode()).hexdigest()
+            out.append((path, d, sig, nb, len(kids)))
+            if d > 1:
+                parent = path.rsplit("/", 1)[0]
+                pd_ = parent.count("/") + 1
+                if parent not in children:
+                    paths_by_depth[pd_].append(parent)
+                children[parent].append((sig, nb))
+    import pandas as pd
+
+    if not out:
+        return spark.createDataFrame(
+            [], "path string, depth int, dir_sig string, n_bytes long, n_children long"
+        )
+    pdf = pd.DataFrame(out, columns=["path", "depth", "dir_sig", "n_bytes", "n_children"])
+    pdf = pdf.astype({"depth": "int32", "n_bytes": "int64", "n_children": "int64"})
+    # pandas → Arrow → JVM (one batch); a tuple list would go row-by-row
+    # through py4j (~10x slower at 10^5 dirs)
+    return spark.createDataFrame(pdf)
+
+
 def rollup_dirs(
     spark: SparkSession,
     leaf_rows: DataFrame,
     checkpoint: bool = True,
+    driver_threshold: int = 3_000_000,
 ) -> DataFrame:
     """dirs(path, depth, dir_sig, n_bytes, n_children) for every prefix.
 
@@ -101,7 +177,16 @@ def rollup_dirs(
     # without the cache each level re-runs the whole leaf chain (pages
     # scan + clusters join) — measured as both slow AND high-variance.
     leaves = leaf_rows.withColumn("depth", depth_of).persist()
-    max_depth = leaves.agg(F.max("depth")).collect()[0][0]
+    max_depth, n_leaves = leaves.agg(F.max("depth"), F.count(F.lit(1))).collect()[0]
+    if n_leaves and n_leaves <= driver_threshold:
+        # Arrow path (toPandas), not collect(): py4j Row materialization
+        # is ~10x slower at this width
+        pdf = leaves.select("parent", "child_sig", "n_bytes").toPandas()
+        leaves.unpersist()
+        return _driver_rollup(
+            spark,
+            zip(pdf["parent"].values, pdf["child_sig"].values, pdf["n_bytes"].values),
+        )
     if max_depth is None:
         return spark.createDataFrame(
             [], "path string, depth int, dir_sig string, n_bytes long, n_children long"

@@ -154,12 +154,8 @@ def verify_substring_pairs(
         pairs.join(texts.withColumnRenamed(id_col, "src").withColumnRenamed("__t", "t_src"), "src")
         .join(texts.withColumnRenamed(id_col, "dst").withColumnRenamed("__t", "t_dst"), "dst")
     )
-    # same rationale as lsh.verify_pairs: byte-tiny / compute-dense pair
-    # rows — explicit partition count keeps the window-hash verify UDF
-    # parallel (AQE would coalesce to ~1 partition). Hashing each doc once
-    # per batch still holds: hot docs hash a handful of times cluster-wide.
-    n_part = pairs.sparkSession.sparkContext.defaultParallelism * 2
-    joined = joined.repartition(n_part)
+    # no explicit repartition (see lsh.verify_pairs): the text-laden join
+    # output stays parallel under the session's 8 MB AQE advisory
     min_chars = cfg.lcs_min_chars
 
     from pyspark.sql.types import DoubleType

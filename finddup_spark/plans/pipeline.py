@@ -36,7 +36,7 @@ from ..functions.signatures import compute_signatures, explode_bands
 from ..operators.cc import connected_components
 from ..operators.exact import exact_clusters, split_ignored, valid_pages
 from ..operators.lsh import candidate_pairs, verify_pairs
-from ..operators.rollup import analyze_dirs, page_leaf_rows, rollup_dirs
+from ..operators.rollup import analyze_dirs, leaf_rows_from_tables, rollup_dirs
 from ..operators.substring import (
     fingerprints,
     substring_candidates,
@@ -50,7 +50,7 @@ LINEAGE_SCHEMA = (
 
 #: canonical stage order — used by invalidate() to cascade downstream
 STAGE_ORDER = [
-    "exact_clusters", "errors", "signatures", "bands",
+    "exact_clusters", "errors", "errors_lineage", "signatures", "bands",
     "edges_work/mh_pairs", "edges_work/mh_pairs_stats",
     "edges_work/mh_edges", "edges_work/sub_pairs", "edges_work/sub_edges",
     "edges", "clusters", "dirs",
@@ -82,6 +82,7 @@ class StageResult:
 class PipelineRun:
     out_dir: str
     stages: list[StageResult] = field(default_factory=list)
+    finalize_ms: int = 0
 
     def table(self, spark: SparkSession, name: str) -> DataFrame:
         return spark.read.parquet(os.path.join(self.out_dir, name))
@@ -181,18 +182,29 @@ class DedupPipeline:
             run, "exact_clusters", lambda: exact_clusters(kept, cfg), "cluster_id"
         )
 
-        # error rows → lineage (the unproc_files analog)
-        if not (self.resume and self._done("errors")):
-            errs = kept.filter(F.col("text").isNull()).select(
+        # errors stage table — the queryable unproc_files analog
+        # (doc_id, url); derived as an anti-join against the exact table
+        # (exact covers every VALID page), which column-prunes the pages
+        # scan to ids/urls instead of decompressing all text a 2nd time
+        id_cols = [c for c in ("doc_id", "url") if c in kept.columns]
+        errors_df = self._write_stage(
+            run,
+            "errors",
+            lambda: kept.select(*id_cols).join(
+                exact.select("doc_id"), "doc_id", "left_anti"
+            ),
+        )
+        if not (self.resume and self._done("errors_lineage")):
+            errs = errors_df.select(
                 F.lit("errors").alias("stage"),
                 F.lit(-1).alias("partition_id"),
                 F.lit(1).cast("long").alias("rows"),
                 F.lit(0).cast("long").alias("wall_ms"),
-                F.concat(F.lit("error:"), F.col("url") if "url" in kept.columns else F.col("doc_id").cast("string")).alias("status"),
+                F.concat(F.lit("error:"), F.col("url") if "url" in errors_df.columns else F.col("doc_id").cast("string")).alias("status"),
             )
             errs.write.mode("append").parquet(os.path.join(self.out_dir, "lineage"))
-            os.makedirs(self._path("errors"), exist_ok=True)
-            open(os.path.join(self._path("errors"), "_SUCCESS"), "w").close()
+            os.makedirs(self._path("errors_lineage"), exist_ok=True)
+            open(os.path.join(self._path("errors_lineage"), "_SUCCESS"), "w").close()
 
         # representatives: one doc per exact cluster (scale: fuzzy work
         # shrinks by the exact-dup ratio, recall unchanged)
@@ -203,10 +215,15 @@ class DedupPipeline:
         # already balanced, and no downstream consumer joins on doc_id
         # distribution — a full shuffle of the signature binaries bought
         # nothing (bands re-shuffles by band key, clusters by cluster key)
+        # fused kernel: band hashes computed in the same pass; the 1 KB/row
+        # minhash binary is never materialized (bands are all LSH needs,
+        # and verification re-shingles from text) — ~4x fewer stage bytes
         sigs = self._write_stage(
             run,
             "signatures",
-            lambda: compute_signatures(rep_pages, cfg),
+            lambda: compute_signatures(
+                rep_pages, cfg, with_bands=True, with_minhash=False
+            ),
         )
         bands = self._write_stage(
             run,
@@ -217,7 +234,11 @@ class DedupPipeline:
             lambda: explode_bands(sigs, cfg).withColumn(
                 "band_prefix", F.pmod("band_hash", F.lit(16))
             ),
-            "band_hash",
+            # repartition on the DISK partition key: each task then writes
+            # exactly one band_prefix directory (one file, trivial sort)
+            # instead of every task fanning out 16 dynamic-partition
+            # writers (measured: the write was wall-flat across cores)
+            "band_prefix",
             partition_cols=["band_prefix"],
         )
 
@@ -286,14 +307,20 @@ class DedupPipeline:
         self.spark.catalog.clearCache()
 
         def _clusters() -> DataFrame:
-            verts = sigs.select("doc_id")
-            rep_clusters = connected_components(edges.filter(F.col("method") != "exact"), vertices=verts)
+            # vertices=None: only edge-touched reps need labels — the
+            # coalesce below maps untouched reps to themselves, so the
+            # label table stays edge-sized (broadcastable at any scale)
+            rep_clusters = connected_components(edges.filter(F.col("method") != "exact"))
             # compose doc → exact rep → fuzzy cluster
+            # broadcast: rep_clusters rows ~= docs touched by a fuzzy edge
+            # (tiny vs the corpus even at 10^12 docs) — avoids shuffling
+            # the full per-doc exact table
             return (
                 exact.select("doc_id", F.col("cluster_id").alias("rep"))
                 .join(
-                    rep_clusters.withColumnRenamed("doc_id", "rep").withColumnRenamed(
-                        "cluster_id", "fuzzy_cluster"
+                    F.broadcast(
+                        rep_clusters.withColumnRenamed("doc_id", "rep")
+                        .withColumnRenamed("cluster_id", "fuzzy_cluster")
                     ),
                     "rep",
                     "left",
@@ -308,7 +335,8 @@ class DedupPipeline:
 
         if "url" in pages.columns:
             def _dirs() -> DataFrame:
-                leaf = page_leaf_rows(kept, clusters)
+                # leaf rows from the stage TABLES (no pages re-scan)
+                leaf = leaf_rows_from_tables(exact, clusters, errors_df)
                 # checkpoint=True: leaves are cached, so each level's
                 # eager job is tiny — and the write-time plan stays flat
                 # instead of a depth-deep nested union (measured: the
@@ -317,8 +345,10 @@ class DedupPipeline:
                 return analyze_dirs(dirs)
 
             self._write_stage(run, "dirs", _dirs, "dir_sig")
+        t_fin = time.monotonic()
         self._flush_lineage()
         self.spark.catalog.clearCache()  # drop per-level rollup caches
+        run.finalize_ms = int((time.monotonic() - t_fin) * 1000)
         return run
 
     def lineage(self) -> DataFrame:

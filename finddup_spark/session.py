@@ -23,7 +23,10 @@ def get_spark(
     extra_conf: dict[str, str] | None = None,
 ) -> SparkSession:
     cores = cores or int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
-    shuffle_partitions = shuffle_partitions or max(cores, 8)
+    # 4 waves of tasks per shuffle: with partitions == cores, one skewed
+    # task stalls the whole stage (bucket sizes ARE skewed); 4x lets the
+    # scheduler rebalance. Cluster analog: 2-4x total executor cores.
+    shuffle_partitions = shuffle_partitions or max(4 * cores, 16)
     # Python workers import finddup_spark by name (cloudpickled pandas
     # UDFs); make the package importable regardless of driver cwd. On a
     # real cluster this is `spark-submit --py-files dist/finddup_spark.zip`.
@@ -47,6 +50,11 @@ def get_spark(
         .config("spark.sql.adaptive.enabled", "true")
         .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
         .config("spark.sql.adaptive.skewJoin.enabled", "true")
+        # dedup stages are compute-dense per byte (hashing/shingling is
+        # ~ms/KB, 10-100x denser than typical SQL): the 64MB default
+        # advisory coalesces a 300MB band shuffle to ~5 partitions and
+        # idles most cores. 8MB keeps post-AQE parallelism ~= cores.
+        .config("spark.sql.adaptive.advisoryPartitionSizeInBytes", "8m")
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
         .config("spark.sql.execution.arrow.maxRecordsPerBatch", "4096")
         # text-dedup stages are compute-dense per byte: smaller scan splits

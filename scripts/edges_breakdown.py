@@ -38,8 +38,7 @@ def main() -> None:
     from finddup_spark.sources.tables import load_pages
 
     pages_path = os.path.join("/tmp", f"scale_corpus_{args.rows}", "pages.parquet")
-    spark = get_spark(app_name="edges-bd", cores=args.cores,
-                      shuffle_partitions=max(args.cores, 8))
+    spark = get_spark(app_name="edges-bd", cores=args.cores)
     spark.sparkContext.setLogLevel("ERROR")
     sink = tempfile.mkdtemp(prefix="edges_bd_")
     t: dict[str, float] = {}

@@ -40,8 +40,7 @@ def main() -> None:
     extra = {}
     if args.advisory:
         extra["spark.sql.adaptive.advisoryPartitionSizeInBytes"] = args.advisory
-    spark = get_spark(app_name="edges-exp", cores=args.cores,
-                      shuffle_partitions=max(args.cores, 8), extra_conf=extra)
+    spark = get_spark(app_name="edges-exp", cores=args.cores, extra_conf=extra)
     spark.sparkContext.setLogLevel("ERROR")
 
     if args.fresh:

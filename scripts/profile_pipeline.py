@@ -22,6 +22,8 @@ def main() -> None:
     ap = argparse.ArgumentParser()
     ap.add_argument("--cores", type=int, required=True)
     ap.add_argument("--rows", type=int, default=60000)
+    ap.add_argument("--shuffle-partitions", type=int, default=None,
+                    help="fixed partition count (data-sized, cluster-size-independent)")
     args = ap.parse_args()
 
     from finddup_spark.corpus import write_pages_parquet
@@ -34,8 +36,14 @@ def main() -> None:
     if not os.path.exists(pages_path):
         write_pages_parquet(corpus_dir, n_rows=args.rows, seed=42)
 
+    extra = {}
+    if os.environ.get("PROFILE_EVENTLOG"):
+        os.makedirs("/tmp/spark-events", exist_ok=True)
+        extra = {"spark.eventLog.enabled": "true",
+                 "spark.eventLog.dir": "/tmp/spark-events"}
     spark = get_spark(app_name=f"profile-{args.cores}", cores=args.cores,
-                      shuffle_partitions=max(args.cores, 8))
+                      shuffle_partitions=args.shuffle_partitions,
+                      extra_conf=extra)
     spark.sparkContext.setLogLevel("ERROR")
     out_root = tempfile.mkdtemp(prefix="profile_out_")
     pages = load_pages(spark, pages_path)

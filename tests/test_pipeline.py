@@ -93,8 +93,10 @@ def test_lineage_has_all_stages_and_errors(spark, piperun):
     for s in ["exact_clusters", "signatures", "bands", "edges", "clusters", "dirs", "errors"]:
         assert s in stages, s
     n_err_pages = pages.filter("text is null").count()
-    assert (lin.stage == "errors").sum() == n_err_pages
-    ok = lin[(lin.stage != "errors") & (lin.stage != "edges")]
+    # per-page error rows carry an "error:<url>" status; the errors stage
+    # ALSO has its own per-partition "ok" metrics rows like any stage
+    assert lin.status.str.startswith("error:").sum() == n_err_pages
+    ok = lin[~lin.status.str.startswith("error:") & (lin.stage != "edges")]
     assert (ok.status == "ok").all()
 
 

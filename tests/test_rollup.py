@@ -96,3 +96,27 @@ def test_report_ordering(spark, tiny_corpus, analyzed):
     for mem in rep.members:
         assert list(mem) == sorted(mem)
         assert all(m.endswith("/") for m in mem)
+
+
+def test_driver_and_distributed_paths_agree(spark, tiny_corpus):
+    """The cardinality-switch (P4) must be invisible: driver dict rollup
+    and the distributed per-level loop produce identical dir tables."""
+    pages, _ = split_ignored(load_pages(spark, tiny_corpus[0]))
+    clusters = exact_clusters(pages)
+    leaf = page_leaf_rows(pages, clusters)
+    a = (
+        rollup_dirs(spark, leaf)  # driver path (tiny corpus)
+        .toPandas().sort_values("path").reset_index(drop=True)
+    )
+    b = (
+        rollup_dirs(spark, leaf, driver_threshold=0)  # force distributed
+        .toPandas().sort_values("path").reset_index(drop=True)
+    )
+    pd.testing.assert_frame_equal(
+        a[["path", "depth", "dir_sig", "n_bytes", "n_children"]].astype(
+            {"n_bytes": "int64", "n_children": "int64"}
+        ),
+        b[["path", "depth", "dir_sig", "n_bytes", "n_children"]].astype(
+            {"n_bytes": "int64", "n_children": "int64"}
+        ),
+    )
