@@ -111,13 +111,15 @@ def q_lsh_topk(spark, sf_dir: str) -> int:
 
 
 def run_bench(sf_dir: str, cores: int, only: str | None = None,
-              pages_path: str | None = None, warmup: bool = False) -> dict:
+              pages_path: str | None = None, warmup: bool = False,
+              shuffle_partitions: int | None = None) -> dict:
     import shutil
     import tempfile
 
     from finddup_spark.session import get_spark
 
-    spark = get_spark(app_name=f"bench-{cores}", cores=cores)
+    spark = get_spark(app_name=f"bench-{cores}", cores=cores,
+                      shuffle_partitions=shuffle_partitions)
     spark.sparkContext.setLogLevel("ERROR")
     out_root = tempfile.mkdtemp(prefix="bench_out_")
 
@@ -197,6 +199,10 @@ def run_scaling(sf_dir: str, low: int, high: int, scale_rows: int) -> None:
             sys.executable, os.path.abspath(__file__),
             "--cores", str(cores), "--only", "pipeline", "--sf-dir", sf_dir,
             "--pages-path", pages_path, "--warmup",
+            # IDENTICAL plan at both levels: shuffle partitions are a
+            # data-sized job config on a real cluster — they do not change
+            # when executors scale N -> 4N, so the proxy pins them too
+            "--shuffle-partitions", "32",
         ]
         out = subprocess.run(cmd, capture_output=True, text=True, check=True)
         line = [l for l in out.stdout.splitlines() if l.startswith("{")][-1]
@@ -250,13 +256,16 @@ def main() -> None:
                     help="run the pipeline on this pages parquet instead of sf_dir documents")
     ap.add_argument("--warmup", action="store_true",
                     help="run the flagship on a tiny corpus first (untimed) so the timed run measures steady-state throughput")
+    ap.add_argument("--shuffle-partitions", type=int, default=None,
+                    help="fixed shuffle partition count (data-sized, cluster-size-independent)")
     args = ap.parse_args()
 
     if args.scaling:
         run_scaling(args.sf_dir, args.scaling_low, args.scaling_high, args.scale_rows)
         return
     print(json.dumps(run_bench(args.sf_dir, args.cores, args.only, args.pages_path,
-                               warmup=args.warmup)))
+                               warmup=args.warmup,
+                               shuffle_partitions=args.shuffle_partitions)))
 
 
 if __name__ == "__main__":

@@ -17,9 +17,11 @@ handling:
   preserved for true clusters; the policy difference vs the exhaustive
   oracle is logged, never silent.
 
-Verification is pure JVM: exact shingle Jaccard via
-``size(array_intersect)/size(array_union)`` on the signature table's
-sorted-unique shingle arrays — no Python at verify time.
+Verification computes the EXACT shingle Jaccard by re-shingling the two
+candidate texts per Arrow batch (vectorized numpy — see
+:func:`verify_pairs`): text is ~4x smaller than its materialized shingle
+array, so re-shingling at verify time beats carrying shingle arrays
+through every shuffle.
 """
 
 from __future__ import annotations

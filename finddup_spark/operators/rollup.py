@@ -112,46 +112,80 @@ def _level_agg(children: DataFrame) -> DataFrame:
     )
 
 
-def _driver_rollup(spark: SparkSession, rows) -> DataFrame:
-    """Small-corpus path: bottom-up dict rollup on the driver — the same
+def _driver_rollup(spark: SparkSession, pdf_children) -> DataFrame:
+    """Small-corpus path: bottom-up rollup on the driver — the same
     cardinality-dependent strategy switch as operators/cc.py (reference
     P4, ``finddup.py:434-467``). Semantics identical to the distributed
     loop: sha256 over the sorted child-sig multiset, '-1' contamination,
-    bytes summed bottom-up."""
-    import hashlib
-    from collections import defaultdict
+    bytes summed bottom-up.
 
-    children: dict[str, list] = defaultdict(list)
-    for r in rows:
-        children[r[0]].append((r[1], int(r[2])))
-    out = []
-    paths_by_depth: dict[int, list[str]] = defaultdict(list)
-    for p in children:
-        paths_by_depth[p.count("/") + 1].append(p)
-    max_d = max(paths_by_depth) if paths_by_depth else 0
-    for d in range(max_d, 0, -1):
-        for path in paths_by_depth.get(d, []):
-            kids = children[path]
-            sigs = [s for s, _ in kids]
-            nb = sum(b for _, b in kids)
-            if UNKNOWN_SIG in sigs:
-                sig = UNKNOWN_SIG
-            else:
-                sig = hashlib.sha256(",".join(sorted(sigs)).encode()).hexdigest()
-            out.append((path, d, sig, nb, len(kids)))
-            if d > 1:
-                parent = path.rsplit("/", 1)[0]
-                pd_ = parent.count("/") + 1
-                if parent not in children:
-                    paths_by_depth[pd_].append(parent)
-                children[parent].append((sig, nb))
+    Vectorized: per level, one pandas mergesort over (parent, child_sig)
+    + numpy ``reduceat`` segmentation; python touches only one iteration
+    per DIRECTORY (for the join+sha), never per child row. Both a
+    row-wise dict loop and pandas groupby-join aggs measured slower at
+    10^6 leaf rows."""
+    import hashlib
+
+    import numpy as np
     import pandas as pd
+
+    if isinstance(pdf_children, pd.DataFrame):
+        pend = pdf_children[["parent", "child_sig", "n_bytes"]].copy()
+    else:
+        pend = pd.DataFrame(
+            list(pdf_children), columns=["parent", "child_sig", "n_bytes"]
+        )
+    out = []
+    if len(pend):
+        pend["n_bytes"] = pend["n_bytes"].astype("int64")
+        pend["depth"] = pend["parent"].str.count("/") + 1
+        max_d = int(pend["depth"].max())
+        for d in range(max_d, 0, -1):
+            level = pend[pend["depth"] == d]
+            if len(level) == 0:
+                continue
+            lv = level.sort_values(["parent", "child_sig"], kind="mergesort")
+            par = lv["parent"].values
+            sig = lv["child_sig"].values
+            nb = lv["n_bytes"].values
+            new = np.ones(len(par), dtype=bool)
+            new[1:] = par[1:] != par[:-1]
+            starts = np.flatnonzero(new)
+            ends = np.append(starts[1:], len(par))
+            nbytes = np.add.reduceat(nb, starts)
+            unk = np.logical_or.reduceat(sig == UNKNOWN_SIG, starts)
+            paths = par[starts]
+            dir_sigs = np.empty(len(starts), dtype=object)
+            for i in range(len(starts)):
+                if unk[i]:
+                    dir_sigs[i] = UNKNOWN_SIG
+                else:
+                    # same bytes the distributed path hashes:
+                    # sha256(",".join(sorted(child_sigs)))
+                    dir_sigs[i] = hashlib.sha256(
+                        ",".join(sig[starts[i]:ends[i]]).encode()
+                    ).hexdigest()
+            out.append(pd.DataFrame({
+                "path": paths, "depth": d, "dir_sig": dir_sigs,
+                "n_bytes": nbytes, "n_children": (ends - starts),
+            }))
+            if d > 1:
+                parents = pd.Series(paths).str.rsplit("/", n=1).str[0]
+                pend = pd.concat([
+                    pend[pend["depth"] < d],
+                    pd.DataFrame({
+                        "parent": parents.values,
+                        "child_sig": dir_sigs,
+                        "n_bytes": nbytes,
+                        "depth": d - 1,
+                    }),
+                ], ignore_index=True)
 
     if not out:
         return spark.createDataFrame(
             [], "path string, depth int, dir_sig string, n_bytes long, n_children long"
         )
-    pdf = pd.DataFrame(out, columns=["path", "depth", "dir_sig", "n_bytes", "n_children"])
+    pdf = pd.concat(out, ignore_index=True)
     pdf = pdf.astype({"depth": "int32", "n_bytes": "int64", "n_children": "int64"})
     # pandas → Arrow → JVM (one batch); a tuple list would go row-by-row
     # through py4j (~10x slower at 10^5 dirs)
@@ -183,10 +217,7 @@ def rollup_dirs(
         # is ~10x slower at this width
         pdf = leaves.select("parent", "child_sig", "n_bytes").toPandas()
         leaves.unpersist()
-        return _driver_rollup(
-            spark,
-            zip(pdf["parent"].values, pdf["child_sig"].values, pdf["n_bytes"].values),
-        )
+        return _driver_rollup(spark, pdf)
     if max_depth is None:
         return spark.createDataFrame(
             [], "path string, depth int, dir_sig string, n_bytes long, n_children long"

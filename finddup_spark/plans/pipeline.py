@@ -250,38 +250,78 @@ class DedupPipeline:
         # recompute partitions. Sub-stage tables also give finer-grained
         # resume (a crash mid-substring keeps the verified minhash edges)
         # — the north rule's "any stage resumes without recompute".
-        # rep texts stay a memory persist (first sub-stage populates it,
-        # later ones reuse; sequential jobs → no cache race).
+        #
+        # The MINHASH chain (mh_pairs → mh_edges) and the SUBSTRING chain
+        # (winnowing fps → sub_pairs) are data-independent, so they run on
+        # two driver THREADS: each stage's scheduling/commit gaps overlap
+        # the other tier's compute (a cluster driver does the same with
+        # concurrent job groups). Work-conserving: at low core counts the
+        # scheduler interleaves them with no extra total work. The shared
+        # rep-text cache is materialized eagerly FIRST so the threads
+        # cannot race to populate it.
         texts = rep_pages.select("doc_id", "text").persist()
+        texts.count()
 
-        pairs, stats = candidate_pairs(bands, cfg)
-        pairs = self._write_stage(run, "edges_work/mh_pairs", lambda: pairs)
-        if not (self.resume and self._done("edges_work/mh_pairs_stats")):
-            st = stats.collect()[0]
-            self._lineage_rows.append((
-                "edges", -1, int(st.pairs_truncated_upper_bound or 0), 0,
-                f"hot_buckets={st.hot_buckets} max_bucket={st.max_bucket}",
-            ))
-            os.makedirs(self._path("edges_work/mh_pairs_stats"), exist_ok=True)
-            open(os.path.join(self._path("edges_work/mh_pairs_stats"), "_SUCCESS"), "w").close()
-        mh_edges = self._write_stage(
-            run, "edges_work/mh_edges",
-            lambda: verify_pairs(pairs, texts, cfg, method="minhash"),
-        )
-        sub_edges = None
-        if self.enable_substring:
+        mh_box: dict[str, DataFrame] = {}
+        sub_box: dict[str, DataFrame] = {}
+        errs: list[BaseException] = []
+
+        def _mh_tier() -> None:
+            pairs, stats = candidate_pairs(bands, cfg)
+            pairs = self._write_stage(run, "edges_work/mh_pairs", lambda: pairs)
+            if not (self.resume and self._done("edges_work/mh_pairs_stats")):
+                st = stats.collect()[0]
+                self._lineage_rows.append((
+                    "edges", -1, int(st.pairs_truncated_upper_bound or 0), 0,
+                    f"hot_buckets={st.hot_buckets} max_bucket={st.max_bucket}",
+                ))
+                os.makedirs(self._path("edges_work/mh_pairs_stats"), exist_ok=True)
+                open(os.path.join(self._path("edges_work/mh_pairs_stats"), "_SUCCESS"), "w").close()
+            mh_box["edges"] = self._write_stage(
+                run, "edges_work/mh_edges",
+                lambda: verify_pairs(pairs, texts, cfg, method="minhash"),
+            )
+
+        def _sub_tier() -> None:
             fps = fingerprints(texts, cfg)
             sub_pairs_df, _sub_stats = substring_candidates(fps, cfg)
-            sub_pairs = self._write_stage(
-                run, "edges_work/sub_pairs",
-                # skip pairs minhash already found (left_anti — J2 analog)
-                lambda: sub_pairs_df.join(
-                    mh_edges.select("src", "dst"), ["src", "dst"], "left_anti"
-                ),
+            sub_box["pairs"] = self._write_stage(
+                run, "edges_work/sub_pairs", lambda: sub_pairs_df
             )
+
+        def _guard(fn):
+            def inner():
+                try:
+                    fn()
+                except BaseException as e:  # re-raised on the main thread
+                    errs.append(e)
+            return inner
+
+        import threading
+
+        threads = [threading.Thread(target=_guard(_mh_tier), name="mh-tier")]
+        if self.enable_substring:
+            threads.append(threading.Thread(target=_guard(_sub_tier), name="sub-tier"))
+        for t in threads:
+            t.start()
+        for t in threads:
+            t.join()
+        if errs:
+            raise errs[0]
+
+        mh_edges = mh_box["edges"]
+        sub_edges = None
+        if self.enable_substring:
             sub_edges = self._write_stage(
                 run, "edges_work/sub_edges",
-                lambda: verify_substring_pairs(sub_pairs, texts, cfg),
+                # skip pairs minhash already found (left_anti — J2 analog)
+                lambda: verify_substring_pairs(
+                    sub_box["pairs"].join(
+                        mh_edges.select("src", "dst"), ["src", "dst"], "left_anti"
+                    ),
+                    texts,
+                    cfg,
+                ),
             )
 
         def _edges() -> DataFrame:

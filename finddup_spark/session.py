@@ -62,7 +62,12 @@ def get_spark(
         # thousands of splits either way and AQE coalesces the excess.
         .config("spark.sql.files.maxPartitionBytes", "33554432")
         .config("spark.sql.session.timeZone", "UTC")
-        .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEM", "8g"))
+        # 24g: the rep-text cache plus execution memory must fit without
+        # GC thrash — an 8g heap measured fine to ~500k pages but
+        # disproportionately slowed the HIGH-parallelism leg at ~1M
+        # (allocation rate scales with concurrent tasks). Cluster analog:
+        # size executor memory to the cached working set.
+        .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEM", "24g"))
         .config("spark.ui.enabled", "false")
         .config("spark.driver.host", "127.0.0.1")
     )
