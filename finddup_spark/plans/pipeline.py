@@ -18,8 +18,10 @@ Scale design decisions (explicit, per SURVEY.md §4):
 - Edges from all tiers (exact / minhash / substring) union into one
   graph; CC resolves final clusters; per-doc assignment composes
   doc → exact rep → fuzzy cluster with two broadcast-friendly joins.
-- Stage outputs are repartitioned by their join key before write so the
-  next stage starts co-located (band-prefix partitioning analog).
+- Only DISK layout survives a parquet write/read boundary, so the one
+  pre-write shuffle kept is the band-prefix partitionBy (hash
+  partitioning "for the next stage" would be lost at the boundary; on
+  Iceberg the same role is played by bucket(...) partition transforms).
 """
 
 from __future__ import annotations
@@ -179,7 +181,7 @@ class DedupPipeline:
 
         # stage: exact clusters (every valid page)
         exact = self._write_stage(
-            run, "exact_clusters", lambda: exact_clusters(kept, cfg), "cluster_id"
+            run, "exact_clusters", lambda: exact_clusters(kept, cfg)
         )
 
         # errors stage table — the queryable unproc_files analog
@@ -211,18 +213,21 @@ class DedupPipeline:
         reps = exact.filter(F.col("doc_id") == F.col("cluster_id")).select("doc_id")
         rep_pages = valid_pages(kept).join(reps, "doc_id", "left_semi")
 
-        # no repartition before write: the UDF's scan partitioning is
-        # already balanced, and no downstream consumer joins on doc_id
-        # distribution — a full shuffle of the signature binaries bought
-        # nothing (bands re-shuffles by band key, clusters by cluster key)
+        # ONE corpus text scan for the whole fuzzy tier: the signature
+        # kernel populates this cache, and the minhash verify / winnowing
+        # / substring verify all reuse it
+        texts = rep_pages.select("doc_id", "text").persist()
+
         # fused kernel: band hashes computed in the same pass; the 1 KB/row
         # minhash binary is never materialized (bands are all LSH needs,
-        # and verification re-shingles from text) — ~4x fewer stage bytes
+        # and verification re-shingles from text) — ~4x fewer stage bytes.
+        # No repartition before write: no downstream consumer joins on
+        # doc_id distribution (bands re-shuffles by band key).
         sigs = self._write_stage(
             run,
             "signatures",
             lambda: compute_signatures(
-                rep_pages, cfg, with_bands=True, with_minhash=False
+                texts, cfg, with_bands=True, with_minhash=False
             ),
         )
         bands = self._write_stage(
@@ -257,10 +262,15 @@ class DedupPipeline:
         # the other tier's compute (a cluster driver does the same with
         # concurrent job groups). Work-conserving: at low core counts the
         # scheduler interleaves them with no extra total work. The shared
-        # rep-text cache is materialized eagerly FIRST so the threads
-        # cannot race to populate it.
-        texts = rep_pages.select("doc_id", "text").persist()
-        texts.count()
+        # rep-text cache was already materialized by the signature stage
+        # (or is rebuilt lazily on resume) so the threads cannot race to
+        # populate an empty cache with both reading it from scratch.
+        if self.resume and all(
+            self._done(s) for s in ("edges_work/mh_edges", "edges_work/sub_pairs")
+        ):
+            pass  # both tiers will skip — no need to touch the cache
+        else:
+            texts.count()
 
         mh_box: dict[str, DataFrame] = {}
         sub_box: dict[str, DataFrame] = {}
@@ -341,7 +351,11 @@ class DedupPipeline:
                 all_edges = all_edges.unionByName(sub_edges)
             return all_edges
 
-        edges = self._write_stage(run, "edges", _edges, "src")
+        # no repartition_on for exact/clusters/edges: hash partitioning
+        # does NOT survive a parquet write/read boundary (only bucketing
+        # would), so a pre-write shuffle "for the next stage" was a pure
+        # cost — the band_prefix DISK layout is the one that matters
+        edges = self._write_stage(run, "edges", _edges)
         # the edges stage is the last consumer of every cached intermediate
         # (rep texts, pairs, mh_edges, salted band tables)
         self.spark.catalog.clearCache()
@@ -371,7 +385,7 @@ class DedupPipeline:
                 )
             )
 
-        clusters = self._write_stage(run, "clusters", _clusters, "cluster_id")
+        clusters = self._write_stage(run, "clusters", _clusters)
 
         if "url" in pages.columns:
             def _dirs() -> DataFrame:
@@ -384,7 +398,7 @@ class DedupPipeline:
                 dirs = rollup_dirs(self.spark, leaf, checkpoint=True)
                 return analyze_dirs(dirs)
 
-            self._write_stage(run, "dirs", _dirs, "dir_sig")
+            self._write_stage(run, "dirs", _dirs)
         t_fin = time.monotonic()
         self._flush_lineage()
         self.spark.catalog.clearCache()  # drop per-level rollup caches
