@@ -48,15 +48,15 @@ def candidate_pairs(
     """(pairs, stats) — pairs(src, dst) with src < dst, distinct across
     bands; stats is a tiny DataFrame of hot-bucket truncation metrics for
     the lineage sink (no silent caps)."""
-    # the bands lineage usually ends in the signature UDF — persist so the
-    # histogram pass and every join branch below reuse one computation
-    # instead of re-running the UDF per branch
-    bands = bands.persist()
-    sizes = (
-        bands.groupBy("band_id", "band_hash")
-        .agg(F.count(F.lit(1)).alias("bucket_size"))
-    )
-    keyed = bands.join(sizes, ["band_id", "band_hash"]).persist()
+    # ONE exchange for the whole pair generator: bucket size via a window
+    # count instead of groupBy + join-back (which exchanged the full band
+    # table twice more); the persisted window output keeps its
+    # (band_id, band_hash) partitioning, so the small/hot self-joins
+    # below reuse it instead of re-shuffling
+    w = Window.partitionBy("band_id", "band_hash")
+    keyed = bands.withColumn(
+        "bucket_size", F.count(F.lit(1)).over(w)
+    ).persist()
 
     dup_buckets = keyed.filter(F.col("bucket_size") >= 2)
     small = dup_buckets.filter(F.col("bucket_size") <= cfg.hot_bucket_cap)
@@ -101,6 +101,11 @@ def candidate_pairs(
         .distinct()
     )
 
+    # per-bucket rows for the skew stats (runs once, over the persisted
+    # keyed table, in the caller's stats.collect() job)
+    sizes = keyed.select("band_id", "band_hash", "bucket_size").dropDuplicates(
+        ["band_id", "band_hash"]
+    )
     stats = (
         sizes.agg(
             F.count(F.lit(1)).alias("n_buckets"),

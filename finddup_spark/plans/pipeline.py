@@ -239,11 +239,12 @@ class DedupPipeline:
             lambda: explode_bands(sigs, cfg).withColumn(
                 "band_prefix", F.pmod("band_hash", F.lit(16))
             ),
-            # repartition on the DISK partition key: each task then writes
-            # exactly one band_prefix directory (one file, trivial sort)
-            # instead of every task fanning out 16 dynamic-partition
-            # writers (measured: the write was wall-flat across cores)
-            "band_prefix",
+            # no pre-write repartition: hashing to 16 band_prefix
+            # partitions capped the write at 16 tasks and added a full
+            # shuffle of the band table — writing 16-way dynamic
+            # partitions straight from the explode's scan tasks keeps
+            # the write at full parallelism (more, smaller files; at
+            # real scale the Iceberg writer handles fanout natively)
             partition_cols=["band_prefix"],
         )
 
