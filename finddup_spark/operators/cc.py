@@ -27,6 +27,7 @@ def connected_components(
     checkpoint_every: int = 3,
     id_col: str = "doc_id",
     driver_threshold: int = 2_000_000,
+    algorithm: str = "star",
 ) -> DataFrame:
     """clusters(doc_id, cluster_id) — cluster_id = min doc_id in component.
 
@@ -38,12 +39,21 @@ def connected_components(
     ``driver_threshold`` edges is collected and solved with union-find on
     the driver in milliseconds — near-dup edge sets are tiny relative to
     the corpus even at 100 TB (edges ≈ dup pairs, not pages). Above the
-    threshold, the distributed min-label loop runs.
+    threshold the distributed path runs: ``algorithm="star"`` (default)
+    is alternating large-star/small-star, O(log n) rounds regardless of
+    component diameter; ``algorithm="minlabel"`` is plain min-label
+    propagation, O(diameter) rounds — fine for tiny near-dup clusters,
+    pathological for chain-shaped mirror graphs.
     """
     edges = edges.persist()
     n_edges = edges.count()
     if n_edges <= driver_threshold:
         return _driver_cc(edges, vertices, id_col)
+    if algorithm == "star":
+        return connected_components_star(
+            edges, vertices, max_iters=max_iters,
+            checkpoint_every=checkpoint_every, id_col=id_col,
+        )
     sym = (
         edges.select(F.col("src").alias("a"), F.col("dst").alias("b"))
         .unionByName(edges.select(F.col("dst").alias("a"), F.col("src").alias("b")))
@@ -113,6 +123,117 @@ def _driver_cc(
         result = spark.createDataFrame(assign, f"{id_col} long, cluster_id long")
     else:
         result = spark.createDataFrame([], f"{id_col} long, cluster_id long")
+    if vertices is not None:
+        singles = (
+            vertices.select(F.col(id_col).cast("long").alias(id_col))
+            .join(result, id_col, "left_anti")
+            .withColumn("cluster_id", F.col(id_col))
+        )
+        result = result.unionByName(singles)
+    return result
+
+
+def connected_components_star(
+    edges: DataFrame,
+    vertices: DataFrame | None = None,
+    max_iters: int = 30,
+    checkpoint_every: int = 2,
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Alternating large-star / small-star connected components
+    (Kiveris et al., "Connected Components in MapReduce and Beyond",
+    SoCC'14 — public algorithm). Converges in O(log n) rounds even for
+    path-shaped components where plain min-label propagation needs
+    O(diameter) — the scale path for pathological web graphs (long
+    redirect/mirror chains). Output contract matches
+    :func:`connected_components`: (doc_id, cluster_id = component min).
+
+    large-star: every node's strictly-LARGER neighbors re-attach to the
+    minimum of its closed neighborhood; small-star: every node's
+    smaller-or-equal neighbors (and itself) attach to that minimum.
+    Both preserve connectivity; their fixpoint is a star per component.
+    """
+    spark = edges.sparkSession
+
+    e = (
+        edges.select(
+            F.least(F.col("src"), F.col("dst")).cast("long").alias("u"),
+            F.greatest(F.col("src"), F.col("dst")).cast("long").alias("v"),
+        )
+        .filter(F.col("u") != F.col("v"))
+        .distinct()
+        .persist()
+    )
+
+    def _signature(df: DataFrame):
+        row = df.agg(
+            F.count(F.lit(1)).alias("n"),
+            # bit_xor: order-independent set digest without ANSI overflow
+            F.expr("bit_xor(xxhash64(u, v))").alias("h"),
+        ).collect()[0]
+        return (row.n, row.h)
+
+    prev_sig = _signature(e)
+    for it in range(max_iters):
+        # ---- large-star ----
+        sym = e.select("u", "v").unionByName(
+            e.select(F.col("v").alias("u"), F.col("u").alias("v"))
+        )
+        mins = sym.groupBy("u").agg(
+            F.least(F.min("v"), F.first("u")).alias("m")
+        )
+        large = (
+            sym.filter(F.col("v") > F.col("u"))
+            .join(mins, "u")
+            .select(
+                F.least(F.col("v"), F.col("m")).alias("u"),
+                F.greatest(F.col("v"), F.col("m")).alias("v"),
+            )
+            .filter(F.col("u") != F.col("v"))
+            .distinct()
+        )
+        # ---- small-star (on the large-star output) ----
+        lsym = large.select(
+            F.col("v").alias("u"), F.col("u").alias("v")
+        )  # point each edge from its larger endpoint down
+        smins = lsym.groupBy("u").agg(F.min("v").alias("m"))
+        small = (
+            lsym.join(smins, "u")
+            .select("u", "v", "m")
+        )
+        new_e = (
+            small.select(
+                F.least(F.col("v"), F.col("m")).alias("u"),
+                F.greatest(F.col("v"), F.col("m")).alias("v"),
+            )
+            .unionByName(small.select(
+                F.least(F.col("u"), F.col("m")).alias("u"),
+                F.greatest(F.col("u"), F.col("m")).alias("v"),
+            ))
+            .filter(F.col("u") != F.col("v"))
+            .distinct()
+        )
+        if (it + 1) % checkpoint_every == 0:
+            new_e = new_e.localCheckpoint(eager=True)
+        else:
+            new_e = new_e.persist()
+        sig = _signature(new_e)
+        e.unpersist()
+        e = new_e
+        if sig == prev_sig:
+            break
+        prev_sig = sig
+
+    # converged: every edge is (root, member) with root = component min
+    labels = e.select(
+        F.col("v").alias(id_col), F.col("u").alias("cluster_id")
+    )
+    roots = e.select(F.col("u").alias(id_col)).distinct().withColumn(
+        "cluster_id", F.col(id_col)
+    )
+    result = labels.unionByName(roots).groupBy(id_col).agg(
+        F.min("cluster_id").alias("cluster_id")
+    )
     if vertices is not None:
         singles = (
             vertices.select(F.col(id_col).cast("long").alias(id_col))

@@ -158,6 +158,9 @@ def verify_pairs(
         .distinct()
     )
     texts = texts.join(F.broadcast(participants), id_col, "left_semi")
+    # no pre-partitioning of texts: the pair side is byte-small, so the
+    # planner broadcasts it and streams texts exchange-free — an explicit
+    # repartition+persist of the text side measured ~2x on this stage
     withs = (
         pairs.join(texts.withColumnRenamed(id_col, "src").withColumnRenamed("__t", "t_src"), "src")
         .join(texts.withColumnRenamed(id_col, "dst").withColumnRenamed("__t", "t_dst"), "dst")

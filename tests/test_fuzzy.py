@@ -155,3 +155,50 @@ def test_cc_chain_converges(spark):
     assert set(out.cluster_id) == {0} and len(out) == 10
     out2 = connected_components(edges, driver_threshold=0).toPandas()
     assert set(out2.cluster_id) == {0} and len(out2) == 10
+
+
+def test_star_cc_matches_union_find(spark):
+    """Large-star/small-star CC (SoCC'14) must produce exactly the
+    union-find clusters — including on a PATH graph, the worst case for
+    plain min-label propagation (diameter = n)."""
+    import random
+
+    from finddup_spark.operators.cc import (
+        _driver_cc,
+        connected_components_star,
+    )
+
+    cases = []
+    # path 0-1-2-...-19 (single component, max diameter)
+    cases.append([(i, i + 1) for i in range(19)])
+    # two cliques + an isolated edge
+    cases.append(
+        [(a, b) for a in range(5) for b in range(a + 1, 5)]
+        + [(10 + a, 10 + b) for a in range(4) for b in range(a + 1, 4)]
+        + [(100, 101)]
+    )
+    rng = random.Random(42)
+    cases.append([(rng.randrange(50), rng.randrange(50)) for _ in range(60)])
+
+    for pairs in cases:
+        pairs = [(a, b) for a, b in pairs if a != b]
+        edges = spark.createDataFrame(pairs, "src long, dst long")
+        got = (
+            connected_components_star(edges)
+            .toPandas().sort_values("doc_id").reset_index(drop=True)
+        )
+        want = (
+            _driver_cc(edges, None, "doc_id")
+            .toPandas().sort_values("doc_id").reset_index(drop=True)
+        )
+        assert got.equals(want), (pairs[:5], len(pairs))
+
+
+def test_star_cc_singleton_vertices(spark):
+    from finddup_spark.operators.cc import connected_components_star
+
+    edges = spark.createDataFrame([(1, 2)], "src long, dst long")
+    verts = spark.createDataFrame([(1,), (2,), (7,)], "doc_id long")
+    out = connected_components_star(edges, vertices=verts).toPandas()
+    got = dict(zip(out.doc_id, out.cluster_id))
+    assert got == {1: 1, 2: 1, 7: 7}
