@@ -300,10 +300,17 @@ def _q_incremental_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
 # oracle and reference-CLI tests instead ----
 
 def _q_embedding_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Embedding-cosine near-dup clusters (rows-only: CC iterations)."""
+    """Embedding-cosine near-dup clusters. Fully oracled: the connected
+    components are reproduced in SQL with a recursive-CTE transitive
+    closure (tractable at sf scale; the engine's CC is the scale path)."""
+    from pyspark.sql import functions as F
+
     from finddup_spark.operators.dedup import embedding_cosine_dedup
 
-    return embedding_cosine_dedup(_emb(spark, sf_dir))
+    out = embedding_cosine_dedup(_emb(spark, sf_dir))
+    return out.select(
+        "vec_id", "cluster_id", F.col("keep").cast("string").alias("keep")
+    )
 
 def _q_minhash_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     from finddup_spark.operators.dedup import minhash_dedup
@@ -665,6 +672,30 @@ def oracle_sql() -> dict[str, str]:
                      ELSE CAST(round(nb / 1125899906842624.0, 1) AS VARCHAR) || ' P'
                    END) AS human_size
             FROM g
+        """,
+        "embedding_dedup": """
+            WITH RECURSIVE e AS (
+                SELECT CAST(a.vec_id AS BIGINT) AS src,
+                       CAST(b.vec_id AS BIGINT) AS dst
+                FROM embeddings a JOIN embeddings b
+                  ON a.vec_id < b.vec_id AND b.vec_id - a.vec_id <= 50
+                WHERE list_cosine_similarity(
+                        CAST(a.embedding AS DOUBLE[]),
+                        CAST(b.embedding AS DOUBLE[])) >= 0.95
+            ),
+            sym AS (
+                SELECT src, dst FROM e
+                UNION SELECT dst, src FROM e
+            ),
+            reach(a, b) AS (
+                SELECT CAST(vec_id AS BIGINT), CAST(vec_id AS BIGINT)
+                FROM embeddings
+                UNION
+                SELECT r.a, s.dst FROM reach r JOIN sym s ON r.b = s.src
+            )
+            SELECT a AS vec_id, min(b) AS cluster_id,
+                   CAST(a = min(b) AS VARCHAR) AS keep
+            FROM reach GROUP BY a
         """,
         "incremental_merge": """
             WITH h AS (
