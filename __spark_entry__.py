@@ -124,11 +124,32 @@ def _q_source_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _planted_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """documents + deterministic exact copies (doc_id%7==0 → doc_id+10000):
+    the sf corpora carry no byte-identical texts (dup_report was a
+    0-row/vacuous pass in round 1), so dup-group queries plant copies by
+    doc_id arithmetic — mirrored verbatim in the oracle SQL."""
+    d = _docs(spark, sf_dir).select("doc_id", "text")
+    copies = d.filter(F.pmod("doc_id", 7) == 0).select(
+        (F.col("doc_id") + 10000).alias("doc_id"), "text"
+    )
+    return d.unionByName(copies)
+
+
+_PLANTED_SQL = """
+    SELECT doc_id, text FROM documents
+    UNION ALL
+    SELECT doc_id + 10000 AS doc_id, text FROM documents WHERE doc_id % 7 = 0
+"""
+
+
 def _q_dup_report(spark: SparkSession, sf_dir: str) -> DataFrame:
     """O1/S6 report ordering: dup groups by size desc, members sorted
-    (string-joined so both engines hash identically)."""
-    d = _docs(spark, sf_dir).select("doc_id", F.sha2("text", 256).alias("h"),
-                                    F.length("text").cast("long").alias("n"))
+    (string-joined so both engines hash identically). Non-vacuous: exact
+    copies planted by doc_id arithmetic (see _planted_docs)."""
+    d = _planted_docs(spark, sf_dir).select(
+        "doc_id", F.sha2("text", 256).alias("h"),
+        F.length("text").cast("long").alias("n"))
     return (
         d.groupBy("h")
         .agg(
@@ -262,10 +283,11 @@ def _q_uniques_report(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def _q_human_sizes(spark: SparkSession, sf_dir: str) -> DataFrame:
     """C1 num2eng analog (finddup.py:90-116): dup groups with k=1024
-    human-formatted sizes, engine column expression vs SQL CASE."""
+    human-formatted sizes, engine column expression vs SQL CASE.
+    Non-vacuous via _planted_docs copies."""
     from finddup_spark.functions.report import human_bytes
 
-    d = _docs(spark, sf_dir).select(
+    d = _planted_docs(spark, sf_dir).select(
         F.sha2("text", 256).alias("h"), F.octet_length("text").cast("long").alias("n_bytes")
     )
     return (
@@ -313,23 +335,50 @@ def _q_embedding_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 def _q_minhash_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MinHash+LSH+CC near-dup dedup. Fully oracled: the sf corpora carry
+    natural near-dup pairs (shingle Jaccard ≥ 0.85), and the oracle SQL
+    recomputes the exact 5-token-shingle Jaccard from raw text (string
+    shingles ≡ the engine's 64-bit hashed shingles up to collisions) and
+    resolves clusters with a recursive-CTE transitive closure. The engine
+    path is the real scale machinery (OPH signatures → salted LSH bucket
+    join → exact-Jaccard verify → distributed CC)."""
     from finddup_spark.operators.dedup import minhash_dedup
 
-    return minhash_dedup(_docs(spark, sf_dir))
+    return minhash_dedup(_docs(spark, sf_dir)).select(
+        F.col("doc_id").cast("long").alias("doc_id"),
+        F.col("cluster_id").cast("long").alias("cluster_id"),
+        F.col("keep").cast("string").alias("keep"),
+    )
 
 
 def _q_simhash_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SimHash Hamming-ball dedup (rows-only: the bit-vote fingerprint
+    needs wrapping uint64 multiplies — splitmix64 / polynomial token
+    hashes — which ANSI SQL / DuckDB cannot express (integer ops raise on
+    overflow), and the Hamming-≤r edge set is not Jaccard-monotone so no
+    text-side threshold reproduces it. Covered by the mirror-oracle unit
+    tests in tests/test_hashing.py and the skew test in
+    tests/test_training_ops.py.)"""
     from finddup_spark.operators.dedup import simhash_dedup
 
     return simhash_dedup(_docs(spark, sf_dir))
 
 
 def _q_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hyperplane-LSH approximate top-k with exact-cosine re-rank. Fully
+    oracled: the seeded hyperplanes are embedded as literals in the oracle
+    SQL (see _lsh_topk_sql), so DuckDB reproduces bucket assignment,
+    candidate join, and re-rank exactly."""
     from finddup_spark.operators.simsearch import lsh_topk
 
     emb = _emb(spark, sf_dir)
     dim = len(emb.select("embedding").first()[0])
-    return lsh_topk(emb, dim=dim, k=3)
+    return lsh_topk(emb, dim=dim, k=3).select(
+        F.col("query_id").cast("long").alias("query_id"),
+        F.col("neighbor_id").cast("long").alias("neighbor_id"),
+        "cos",
+        F.col("rank").cast("long").alias("rank"),
+    )
 
 
 def _q_anti_join_uniques(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -351,8 +400,12 @@ def _q_anti_join_uniques(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _q_pipeline_pages(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Full three-tier staged pipeline over pages derived from documents
-    (rows-only: CC iterations are not one-statement SQL)."""
+    """Full staged pipeline (exact tier → OPH signatures → salted LSH →
+    exact-Jaccard verify → CC → composition) over pages derived from
+    documents. Fully oracled: the oracle recomputes the 5-token-shingle
+    Jaccard edge set in SQL and resolves components with a recursive CTE
+    (same technique as minhash_dedup; the corpora carry natural near-dups
+    so the fuzzy tier is exercised non-vacuously)."""
     import tempfile
 
     from finddup_spark.plans.pipeline import DedupPipeline
@@ -361,20 +414,100 @@ def _q_pipeline_pages(spark: SparkSession, sf_dir: str) -> DataFrame:
     pages = pages_from_documents(spark, sf_dir)
     out = tempfile.mkdtemp(prefix="entry_pipe_")
     run = DedupPipeline(spark, out, enable_substring=False, resume=False).run(pages)
-    return run.table(spark, "clusters")
+    return run.table(spark, "clusters").select(
+        F.col("doc_id").cast("long").alias("doc_id"),
+        F.col("cluster_id").cast("long").alias("cluster_id"),
+    )
 
 
 def _q_site_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """A4/A5 dir rollup over url prefixes (rows-only; the reference-CLI
-    equality test in tests/ is the real gate)."""
+    """A4/A5 dir rollup over url prefixes, fully oracled and non-vacuous:
+    the query plants (a) a full mirror of host src1 under mirror.src1
+    (exact copies, +10000 ids) → a dup dir pair, and (b) one
+    extraction-error page under src3 → '-1' contamination / unknown
+    status (finddup.py:617-620, 1093-1097). The multi-level rollup is
+    additionally gated by the reference-CLI equality test in tests/."""
     from finddup_spark.operators.exact import exact_clusters
     from finddup_spark.operators.rollup import analyze_dirs, page_leaf_rows, rollup_dirs
     from finddup_spark.sources.tables import pages_from_documents
 
     pages = pages_from_documents(spark, sf_dir)
-    clusters = exact_clusters(pages)
-    dirs = rollup_dirs(spark, page_leaf_rows(pages, clusters))
-    return analyze_dirs(dirs)
+    src1 = pages.filter(F.col("url").startswith("https://src1/"))
+    mirror = src1.select(
+        (F.col("doc_id") + 10000).alias("doc_id"),
+        F.regexp_replace("url", "^https://src1/", "https://mirror.src1/").alias("url"),
+        "warc_ts", "html", "text", "lang",
+    )
+    err = spark.range(1).select(
+        F.lit(20001).cast(pages.schema["doc_id"].dataType).alias("doc_id"),
+        F.lit("https://src3/err20001.html").alias("url"),
+        F.to_timestamp(F.lit("2024-01-01 00:00:00")).alias("warc_ts"),
+        F.lit(None).cast("binary").alias("html"),
+        F.lit(None).cast("string").alias("text"),
+        F.lit(None).cast("string").alias("lang"),
+    )
+    pages2 = pages.unionByName(mirror).unionByName(err)
+    clusters = exact_clusters(pages2)
+    dirs = rollup_dirs(spark, page_leaf_rows(pages2, clusters))
+    return analyze_dirs(dirs).select(
+        "path",
+        F.col("depth").cast("long").alias("depth"),
+        "dir_sig",
+        F.col("n_bytes").cast("long").alias("n_bytes"),
+        F.col("n_children").cast("long").alias("n_children"),
+        "status",
+        "dir_cluster",
+    )
+
+
+def _q_unproc_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """S6/O3 categorized unprocessed report (finddup.py:1207-1270):
+    ignored / redirect / fetch_error / changed / unreadable rows with
+    per-category alphabetical seq. Categories planted deterministically
+    from doc_id arithmetic (the documents table has no error rows)."""
+    from finddup_spark.operators.report_ops import unproc_report
+
+    d = _docs(spark, sf_dir).select(
+        "doc_id",
+        F.when(
+            F.pmod("doc_id", 13) == 0,
+            F.concat("source", F.lit("/r"), F.col("doc_id").cast("string"), F.lit("/robots.txt")),
+        ).otherwise(
+            F.concat("source", F.lit("/p"), F.col("doc_id").cast("string"), F.lit(".html"))
+        ).alias("url"),
+        F.when(F.pmod("doc_id", 19) == 0, F.lit("redirect"))
+        .when(F.pmod("doc_id", 23) == 0, F.lit("fetch_error"))
+        .otherwise(F.lit("page")).alias("kind"),
+        F.when(F.pmod("doc_id", 11) == 0, F.lit(None).cast("string"))
+        .otherwise(F.col("text")).alias("text"),
+    )
+    changed = d.filter(F.pmod("doc_id", 17) == 0).select("doc_id")
+    return unproc_report(d, changed_ids=changed).select(
+        "category", "url", F.col("seq").cast("long").alias("seq")
+    )
+
+
+def _q_kind_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """F2-F4 kind filter (symlink/FIFO/socket analogs, finddup.py:175-192)
+    via operators.exact.split_kinds over a synthesized kind column."""
+    from finddup_spark.operators.exact import split_kinds
+
+    d = _docs(spark, sf_dir).select(
+        "doc_id",
+        F.when(F.pmod("doc_id", 19) == 0, F.lit("redirect"))
+        .when(F.pmod("doc_id", 23) == 0, F.lit("fetch_error"))
+        .otherwise(F.lit("page")).alias("kind"),
+        F.octet_length("text").cast("long").alias("n_bytes"),
+    )
+    kept, skipped = split_kinds(d)
+    both = kept.withColumn("is_kept", F.lit(1)).unionByName(
+        skipped.withColumn("is_kept", F.lit(0))
+    )
+    return both.groupBy("kind").agg(
+        F.max("is_kept").cast("long").alias("is_kept"),
+        F.count(F.lit(1)).alias("n_rows"),
+        F.sum("n_bytes").cast("long").alias("n_bytes_total"),
+    )
 
 
 def _q_winnow_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -414,6 +547,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "events_dedup": _q_events_dedup,
         "nation_revenue": _q_nation_revenue,
         "ignored_split": _q_ignored_split,
+        "unproc_report": _q_unproc_report,
+        "kind_split": _q_kind_split,
         "group_size_freq": _q_group_size_freq,
         "uniques_report": _q_uniques_report,
         "human_sizes": _q_human_sizes,
@@ -482,6 +617,98 @@ FROM stats s JOIN ev e USING (doc_id)
 """
 
 
+# Shared fragment: the engine's fuzzy edge set recomputed from raw text.
+# The engine shingles 5-token windows (token = maximal non-whitespace run;
+# the sf corpora are single-space separated — verified no \t\n\v\f\r or
+# repeated spaces), hashes them to 64 bits, and accepts pairs whose EXACT
+# distinct-shingle Jaccard >= 0.8 (config.verify_jaccard). String shingles
+# are equality-equivalent to the hashed ones up to 64-bit collisions, and
+# the sf corpora have no pair within [0.7, 0.85] of the threshold, so the
+# decision boundary is collision- and float-safe. Docs shorter than 5
+# tokens take one whole-doc shingle (signatures._batch_shingles).
+_JACCARD_EDGES_SQL = """
+    toks AS (
+        SELECT doc_id, string_split(text, ' ') AS t FROM documents
+    ),
+    sh AS (
+        SELECT DISTINCT doc_id,
+               CASE WHEN len(t) >= 5 THEN array_to_string(t[i:i+4], ' ')
+                    ELSE array_to_string(t, ' ') END AS s
+        FROM toks, UNNEST(generate_series(1, greatest(len(t) - 4, 1))) AS u(i)
+    ),
+    card AS (SELECT doc_id, count(*) AS c FROM sh GROUP BY 1),
+    pair_inter AS (
+        SELECT a.doc_id AS src, b.doc_id AS dst, count(*) AS i
+        FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id
+        GROUP BY 1, 2
+    ),
+    edges AS (
+        SELECT CAST(src AS BIGINT) AS src, CAST(dst AS BIGINT) AS dst
+        FROM pair_inter
+        JOIN card ca ON ca.doc_id = src
+        JOIN card cb ON cb.doc_id = dst
+        WHERE i * 1.0 / (ca.c + cb.c - i) >= 0.8
+    ),
+    sym AS (SELECT src, dst FROM edges UNION SELECT dst, src FROM edges),
+    reach(a, b) AS (
+        SELECT CAST(doc_id AS BIGINT), CAST(doc_id AS BIGINT) FROM documents
+        UNION
+        SELECT r.a, s.dst FROM reach r JOIN sym s ON r.b = s.src
+    )
+"""
+
+
+def _lsh_topk_sql() -> str:
+    """Random-hyperplane LSH top-k oracle: the seeded hyperplane matrix is
+    embedded as SQL literals, so DuckDB reproduces the engine's bucket
+    assignment (sign of <v, h> per plane packed into an int key), the
+    shared-bucket candidate join, and the exact-cosine re-rank."""
+    from finddup_spark.operators.simsearch import _hyperplanes
+
+    n_planes, n_tables, seed, dim, k = 10, 6, 42, 64, 3
+    planes = _hyperplanes(dim, n_planes, n_tables, seed)
+    tbl_selects = []
+    for t in range(n_tables):
+        terms = []
+        for p in range(n_planes):
+            lit = ", ".join("%.17g" % x for x in planes[t][p])
+            terms.append(
+                f"(CASE WHEN list_dot_product(e, [{lit}]::DOUBLE[]) > 0 "
+                f"THEN {1 << p} ELSE 0 END)"
+            )
+        tbl_selects.append(
+            f"SELECT vec_id, {t} AS table_id, {' + '.join(terms)} AS bucket FROM v"
+        )
+    buckets = "\n UNION ALL ".join(tbl_selects)
+    return f"""
+        WITH v AS (
+            SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings
+        ),
+        b AS ({buckets}),
+        cand AS (
+            SELECT DISTINCT a.vec_id AS query_id, b2.vec_id AS neighbor_id
+            FROM b a JOIN b b2
+              ON a.table_id = b2.table_id AND a.bucket = b2.bucket
+             AND a.vec_id != b2.vec_id
+        ),
+        scored AS (
+            SELECT c.query_id, c.neighbor_id,
+                   round(list_cosine_similarity(va.e, vb.e), 6) AS cos
+            FROM cand c
+            JOIN v va ON va.vec_id = c.query_id
+            JOIN v vb ON vb.vec_id = c.neighbor_id
+        )
+        SELECT CAST(query_id AS BIGINT) AS query_id,
+               CAST(neighbor_id AS BIGINT) AS neighbor_id,
+               cos,
+               CAST(row_number() OVER (
+                   PARTITION BY query_id ORDER BY cos DESC, neighbor_id
+               ) AS BIGINT) AS rank
+        FROM scored
+        QUALIFY rank <= {k}
+    """
+
+
 def oracle_sql() -> dict[str, str]:
     return {
         "exact_block_sizes": """
@@ -537,12 +764,13 @@ def oracle_sql() -> dict[str, str]:
                    count(*) AS n_docs
             FROM h GROUP BY source
         """,
-        "dup_report": """
+        "dup_report": f"""
+            WITH planted AS ({_PLANTED_SQL})
             SELECT sha256(text) AS h,
                    count(*) AS n_members,
                    CAST(max(length(text)) AS BIGINT) AS n_chars,
                    string_agg(CAST(doc_id AS VARCHAR), ',' ORDER BY CAST(doc_id AS VARCHAR)) AS members
-            FROM documents
+            FROM planted
             GROUP BY 1
             HAVING count(*) > 1
         """,
@@ -655,12 +883,13 @@ def oracle_sql() -> dict[str, str]:
             SELECT d.doc_id, CAST(octet_length(encode(d.text)) AS BIGINT) AS n_bytes
             FROM documents d JOIN g ON sha256(d.text) = g.h
         """,
-        "human_sizes": """
-            WITH g AS (
+        "human_sizes": f"""
+            WITH planted AS ({_PLANTED_SQL}),
+            g AS (
                 SELECT sha256(text) AS h,
                        count(*) AS n_members,
                        max(octet_length(encode(text))) AS nb
-                FROM documents GROUP BY 1 HAVING count(*) > 1
+                FROM planted GROUP BY 1 HAVING count(*) > 1
             )
             SELECT h, n_members,
                    rtrim(CASE
@@ -696,6 +925,94 @@ def oracle_sql() -> dict[str, str]:
             SELECT a AS vec_id, min(b) AS cluster_id,
                    CAST(a = min(b) AS VARCHAR) AS keep
             FROM reach GROUP BY a
+        """,
+        "minhash_dedup": f"""
+            WITH RECURSIVE {_JACCARD_EDGES_SQL}
+            SELECT a AS doc_id, min(b) AS cluster_id,
+                   CAST(a = min(b) AS VARCHAR) AS keep
+            FROM reach GROUP BY a
+        """,
+        "pipeline_pages": f"""
+            WITH RECURSIVE {_JACCARD_EDGES_SQL}
+            SELECT a AS doc_id, min(b) AS cluster_id
+            FROM reach GROUP BY a
+        """,
+        "lsh_topk": _lsh_topk_sql(),
+        "site_rollup": """
+            WITH pages AS (
+                SELECT doc_id, source, text FROM documents
+                UNION ALL
+                SELECT doc_id + 10000, 'mirror.src1', text
+                FROM documents WHERE source = 'src1'
+                UNION ALL
+                SELECT 20001, 'src3', NULL
+            ),
+            cl AS (
+                SELECT doc_id, source,
+                       CASE WHEN text IS NULL THEN 0
+                            ELSE octet_length(encode(text)) END AS n_bytes,
+                       CASE WHEN text IS NULL THEN '-1'
+                            ELSE CAST(min(doc_id) OVER (PARTITION BY text)
+                                      AS VARCHAR) END AS child_sig
+                FROM pages
+            ),
+            dirs AS (
+                SELECT source AS path, 1 AS depth,
+                       CASE WHEN max(CASE WHEN child_sig = '-1' THEN 1 ELSE 0 END) = 1
+                            THEN '-1'
+                            ELSE sha256(string_agg(child_sig, ',' ORDER BY child_sig))
+                       END AS dir_sig,
+                       CAST(sum(n_bytes) AS BIGINT) AS n_bytes,
+                       count(*) AS n_children
+                FROM cl GROUP BY source
+            ),
+            g AS (
+                SELECT dir_sig, count(*) AS n_dirs, min(path) AS dir_cluster
+                FROM dirs WHERE dir_sig != '-1' GROUP BY 1
+            )
+            SELECT d.path, CAST(d.depth AS BIGINT) AS depth, d.dir_sig,
+                   d.n_bytes, d.n_children,
+                   CASE WHEN d.dir_sig = '-1' THEN 'unknown'
+                        WHEN g.n_dirs > 1 THEN 'dup' ELSE 'unique' END AS status,
+                   CASE WHEN d.dir_sig = '-1' THEN d.path
+                        ELSE g.dir_cluster END AS dir_cluster
+            FROM dirs d LEFT JOIN g USING (dir_sig)
+        """,
+        "unproc_report": """
+            WITH d AS (
+                SELECT doc_id,
+                       CASE WHEN doc_id % 13 = 0
+                            THEN source || '/r' || CAST(doc_id AS VARCHAR) || '/robots.txt'
+                            ELSE source || '/p' || CAST(doc_id AS VARCHAR) || '.html'
+                       END AS url,
+                       CASE WHEN doc_id % 13 = 0 THEN 'ignored'
+                            WHEN doc_id % 19 = 0 THEN 'redirect'
+                            WHEN doc_id % 23 = 0 THEN 'fetch_error'
+                            WHEN doc_id % 17 = 0 THEN 'changed'
+                            WHEN doc_id % 11 = 0 THEN 'unreadable'
+                       END AS category
+                FROM documents
+            )
+            SELECT category, url,
+                   CAST(row_number() OVER (
+                       PARTITION BY category ORDER BY url
+                   ) AS BIGINT) AS seq
+            FROM d WHERE category IS NOT NULL
+        """,
+        "kind_split": """
+            WITH d AS (
+                SELECT doc_id,
+                       CASE WHEN doc_id % 19 = 0 THEN 'redirect'
+                            WHEN doc_id % 23 = 0 THEN 'fetch_error'
+                            ELSE 'page' END AS kind,
+                       octet_length(encode(text)) AS n_bytes
+                FROM documents
+            )
+            SELECT kind,
+                   CAST(CASE WHEN kind = 'page' THEN 1 ELSE 0 END AS BIGINT) AS is_kept,
+                   count(*) AS n_rows,
+                   CAST(sum(n_bytes) AS BIGINT) AS n_bytes_total
+            FROM d GROUP BY kind
         """,
         "incremental_merge": """
             WITH h AS (

@@ -49,6 +49,26 @@ def split_ignored(pages: DataFrame, url_col: str = "url") -> tuple[DataFrame, Da
     return pages.filter(~pred), pages.filter(pred)
 
 
+def split_kinds(
+    pages: DataFrame,
+    kind_col: str = "kind",
+    keep_kinds: tuple[str, ...] = ("page",),
+) -> tuple[DataFrame, DataFrame]:
+    """F2-F4 analogs (symlink / FIFO / socket skips,
+    ``finddup.py:175-192``): rows whose ``kind`` is not a processable page
+    (redirects ≈ symlinks, fetch errors ≈ sockets/FIFOs) are excluded from
+    all results — clusters, uniques, dir identity — and reported in the
+    unproc section (:func:`finddup_spark.operators.report_ops.unproc_report`).
+
+    Returns (kept, skipped). A pages table without the kind column keeps
+    everything (the input_hint schema has no kind; crawlers that record
+    one get the filter for free)."""
+    if kind_col not in pages.columns:
+        return pages, None
+    pred = F.col(kind_col).isin(list(keep_kinds))
+    return pages.filter(pred), pages.filter(~pred)
+
+
 def valid_pages(pages: DataFrame, text_col: str = "text") -> DataFrame:
     """Filter to processable rows (reference S3 skip classification,
     ``finddup.py:119-196``: unreadable → unproc). Error rows flow to the
