@@ -324,14 +324,28 @@ def _q_incremental_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
 def _q_embedding_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Embedding-cosine near-dup clusters. Fully oracled: the connected
     components are reproduced in SQL with a recursive-CTE transitive
-    closure (tractable at sf scale; the engine's CC is the scale path)."""
+    closure (tractable at sf scale; the engine's CC is the scale path).
+
+    Non-vacuous: the sf embeddings have NO natural pair within 0.48 of
+    the 0.95 threshold (threshold-boundary float risk is therefore moot),
+    so identical copies are planted at vec_id+50 for vec_id >= 450 —
+    gap exactly 50 (inside the candidate block window), cosine exactly
+    1.0 on both engines → 50 real edges through LSH-blocked verify + CC."""
     from pyspark.sql import functions as F
 
     from finddup_spark.operators.dedup import embedding_cosine_dedup
 
-    out = embedding_cosine_dedup(_emb(spark, sf_dir))
+    emb = _emb(spark, sf_dir).select("vec_id", "embedding")
+    planted = emb.unionByName(
+        emb.filter(F.col("vec_id") >= 450).select(
+            (F.col("vec_id") + 50).alias("vec_id"), "embedding"
+        )
+    )
+    out = embedding_cosine_dedup(planted)
     return out.select(
-        "vec_id", "cluster_id", F.col("keep").cast("string").alias("keep")
+        F.col("vec_id").cast("long").alias("vec_id"),
+        F.col("cluster_id").cast("long").alias("cluster_id"),
+        F.col("keep").cast("string").alias("keep"),
     )
 
 def _q_minhash_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -903,10 +917,15 @@ def oracle_sql() -> dict[str, str]:
             FROM g
         """,
         "embedding_dedup": """
-            WITH RECURSIVE e AS (
+            WITH RECURSIVE pv AS (
+                SELECT vec_id, embedding FROM embeddings
+                UNION ALL
+                SELECT vec_id + 50, embedding FROM embeddings WHERE vec_id >= 450
+            ),
+            e AS (
                 SELECT CAST(a.vec_id AS BIGINT) AS src,
                        CAST(b.vec_id AS BIGINT) AS dst
-                FROM embeddings a JOIN embeddings b
+                FROM pv a JOIN pv b
                   ON a.vec_id < b.vec_id AND b.vec_id - a.vec_id <= 50
                 WHERE list_cosine_similarity(
                         CAST(a.embedding AS DOUBLE[]),
@@ -918,7 +937,7 @@ def oracle_sql() -> dict[str, str]:
             ),
             reach(a, b) AS (
                 SELECT CAST(vec_id AS BIGINT), CAST(vec_id AS BIGINT)
-                FROM embeddings
+                FROM pv
                 UNION
                 SELECT r.a, s.dst FROM reach r JOIN sym s ON r.b = s.src
             )

@@ -111,13 +111,20 @@ def q_lsh_topk(spark, sf_dir: str) -> int:
 
 
 def run_bench(sf_dir: str, cores: int, only: str | None = None,
-              pages_path: str | None = None, warmup: bool = False,
+              pages_path: str | None = None, warmup: bool = True,
               shuffle_partitions: int | None = None) -> dict:
     import shutil
     import tempfile
 
     from finddup_spark.session import get_spark
 
+    if shuffle_partitions is None:
+        # data-sized, not cluster-sized: tens of MB of corpus text per
+        # shuffle partition at bench scale — the value a real cluster
+        # would pin per-job regardless of executor count. The session
+        # default (4x cores = 128 at local[32]) over-fragments the
+        # single-digit-GB bench input into tiny tasks.
+        shuffle_partitions = max(16, min(2 * cores, 64))
     spark = get_spark(app_name=f"bench-{cores}", cores=cores,
                       shuffle_partitions=shuffle_partitions)
     spark.sparkContext.setLogLevel("ERROR")
@@ -151,7 +158,7 @@ def run_bench(sf_dir: str, cores: int, only: str | None = None,
             key=lambda p: os.path.getsize(p),
         )
         # largest corpus that keeps the bench under a few minutes
-        cands = [p for p in cands if os.path.getsize(p) <= 1_500_000_000]
+        cands = [p for p in cands if os.path.getsize(p) <= 2_600_000_000]
         if cands:
             pages_path = cands[-1]
         else:
@@ -305,8 +312,8 @@ def main() -> None:
                     help="synthetic corpus size for --scaling")
     ap.add_argument("--pages-path", default=None,
                     help="run the pipeline on this pages parquet instead of sf_dir documents")
-    ap.add_argument("--warmup", action="store_true",
-                    help="run the flagship on a tiny corpus first (untimed) so the timed run measures steady-state throughput")
+    ap.add_argument("--warmup", action=argparse.BooleanOptionalAction, default=True,
+                    help="run the flagship on a tiny corpus first (untimed) so the timed run measures steady-state throughput (real executors are long-lived; --no-warmup to disable)")
     ap.add_argument("--shuffle-partitions", type=int, default=None,
                     help="fixed shuffle partition count (data-sized, cluster-size-independent)")
     args = ap.parse_args()
@@ -315,7 +322,7 @@ def main() -> None:
         run_scaling(args.sf_dir, args.scaling_low, args.scaling_high, args.scale_rows)
         return
     print(json.dumps(run_bench(args.sf_dir, args.cores, args.only, args.pages_path,
-                               warmup=args.warmup,
+                               warmup=bool(args.warmup),
                                shuffle_partitions=args.shuffle_partitions)))
 
 

@@ -48,12 +48,16 @@ def connected_components(
     edges = edges.persist()
     n_edges = edges.count()
     if n_edges <= driver_threshold:
-        return _driver_cc(edges, vertices, id_col)
+        out = _driver_cc(edges, vertices, id_col)
+        edges.unpersist()  # collected — the cache has served its purpose
+        return out
     if algorithm == "star":
-        return connected_components_star(
+        out = connected_components_star(
             edges, vertices, max_iters=max_iters,
             checkpoint_every=checkpoint_every, id_col=id_col,
         )
+        edges.unpersist()
+        return out
     sym = (
         edges.select(F.col("src").alias("a"), F.col("dst").alias("b"))
         .unionByName(edges.select(F.col("dst").alias("a"), F.col("src").alias("b")))
@@ -83,6 +87,12 @@ def connected_components(
         labels = new_labels.select(id_col, "label")
         if changed == 0:
             break
+    else:
+        raise RuntimeError(
+            f"min-label CC did not converge in {max_iters} iterations "
+            f"({changed} labels still changing) — raise max_iters or use "
+            "algorithm='star' (O(log n) rounds)"
+        )
 
     result = labels.withColumnRenamed("label", "cluster_id")
     if vertices is not None:
@@ -168,12 +178,17 @@ def connected_components_star(
     def _signature(df: DataFrame):
         row = df.agg(
             F.count(F.lit(1)).alias("n"),
-            # bit_xor: order-independent set digest without ANSI overflow
-            F.expr("bit_xor(xxhash64(u, v))").alias("h"),
+            # bit_xor: order-independent set digest without ANSI overflow;
+            # TWO independent 64-bit digests (different arg order seeds a
+            # different hash) — a false fixpoint now needs a simultaneous
+            # 128-bit collision between consecutive distinct edge sets
+            F.expr("bit_xor(xxhash64(u, v))").alias("h1"),
+            F.expr("bit_xor(xxhash64(v, u))").alias("h2"),
         ).collect()[0]
-        return (row.n, row.h)
+        return (row.n, row.h1, row.h2)
 
     prev_sig = _signature(e)
+    converged = False
     for it in range(max_iters):
         # ---- large-star ----
         sym = e.select("u", "v").unionByName(
@@ -221,8 +236,26 @@ def connected_components_star(
         e.unpersist()
         e = new_e
         if sig == prev_sig:
+            converged = True
             break
         prev_sig = sig
+
+    if not converged:
+        # label extraction below assumes every edge is a star (u = root),
+        # which only holds at the fixpoint — exiting silently via
+        # max_iters would produce wrong labels. Verify star-ness with one
+        # aggregate (no root may appear as a member) and fail loudly.
+        non_star = (
+            e.select(F.col("u").alias("x"))
+            .join(e.select(F.col("v").alias("x")), "x", "left_semi")
+            .limit(1)
+            .count()
+        )
+        if non_star:
+            raise RuntimeError(
+                f"star CC did not converge in {max_iters} iterations "
+                "(non-star edges remain) — raise max_iters"
+            )
 
     # converged: every edge is (root, member) with root = component min
     labels = e.select(

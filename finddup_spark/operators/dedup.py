@@ -38,9 +38,17 @@ def minhash_dedup(
 ) -> DataFrame:
     """Near-dup dedup at cfg.verify_jaccard: (doc_id, cluster_id, keep)."""
     sigs = compute_signatures(docs, cfg, id_col=id_col, text_col=text_col).persist()
-    pairs, _stats = candidate_pairs(explode_bands(sigs, cfg), cfg)
+    caches: list = [sigs]
+    pairs, _stats = candidate_pairs(explode_bands(sigs, cfg), cfg, cache_handles=caches)
     edges = verify_pairs(pairs, docs, cfg, id_col=id_col, text_col=text_col)
-    cl = connected_components(edges, vertices=sigs.select("doc_id"))
+    # vertices from the cheap id scan, NOT the signature table: CC runs
+    # its actions eagerly, so the signature/band caches can be dropped
+    # here — standalone calls no longer leak them until session clearCache
+    cl = connected_components(
+        edges, vertices=docs.select(F.col(id_col).alias("doc_id"))
+    )
+    for h in caches:
+        h.unpersist()
     return cl.select(
         F.col("doc_id").alias(id_col),
         "cluster_id",
@@ -59,8 +67,15 @@ def simhash_dedup(
     sigs = compute_signatures(
         docs, cfg, id_col=id_col, text_col=text_col, include_shingles=False
     ).persist()
-    cand = simhash_candidate_pairs(sigs, hamming_radius=hamming_radius)
-    cl = connected_components(cand.select("src", "dst"), vertices=sigs.select("doc_id"))
+    caches: list = [sigs]
+    cand = simhash_candidate_pairs(
+        sigs, hamming_radius=hamming_radius, cfg=cfg, cache_handles=caches
+    )
+    cl = connected_components(
+        cand.select("src", "dst"), vertices=docs.select(F.col(id_col).alias("doc_id"))
+    )
+    for h in caches:
+        h.unpersist()
     return cl.select(
         F.col("doc_id").alias(id_col),
         "cluster_id",
@@ -87,9 +102,27 @@ def token_jaccard_pairs(
         F.col(block_col).alias("block"),
         F.array_distinct(F.split(F.col(text_col), r"\s+")).alias("toks"),
     )
-    a = toks.select(F.col(id_col).alias("src"), "block", F.col("toks").alias("t_src"))
-    b = toks.select(F.col(id_col).alias("dst"), "block", F.col("toks").alias("t_dst"))
-    pairs = a.join(b, "block").filter(
+    # the id-gap bound is part of the JOIN KEY, not a post-join filter:
+    # bucket = floor(id / gap); a pair within the gap lands in the same or
+    # adjacent buckets, so the dst side explodes to (bucket, bucket-1) and
+    # the join is a plain equi hash join on (block, bucket) — each bucket
+    # holds <= gap rows per block, so the pair stream is O(N·gap), not
+    # O(N²/|blocks|) with a post-join gap predicate. Exactly one of the
+    # two exploded buckets matches per qualifying pair → no dedup needed.
+    a = toks.select(
+        F.col(id_col).alias("src"), "block", F.col("toks").alias("t_src"),
+        F.floor(F.col(id_col) / max_id_gap).alias("bucket"),
+    )
+    b = toks.select(
+        F.col(id_col).alias("dst"), "block", F.col("toks").alias("t_dst"),
+        F.explode(
+            F.array(
+                F.floor(F.col(id_col) / max_id_gap),
+                F.floor(F.col(id_col) / max_id_gap) - 1,
+            )
+        ).alias("bucket"),
+    )
+    pairs = a.join(b, ["block", "bucket"]).filter(
         (F.col("src") < F.col("dst")) & (F.col("dst") - F.col("src") <= max_id_gap)
     )
     inter = F.size(F.array_intersect("t_src", "t_dst"))
@@ -112,15 +145,29 @@ def embedding_cosine_dedup(
 
     Candidate generation here is id-gap blocked (bounded demo); at scale
     swap in the LSH bucketing from simsearch.hyperplane_buckets — the
-    verify + CC stages are unchanged.
+    verify + CC stages are unchanged. The gap bound is an equi JOIN key
+    (bucket = floor(id/gap), dst exploded to bucket and bucket-1), not a
+    non-equi predicate: the previous ``src < dst`` join condition planned
+    as a BroadcastNestedLoopJoin — O(N²) compares before any filter.
     """
     from .simsearch import with_norm, cosine_expr
 
     e = with_norm(embeddings, id_col=id_col, vec_col=vec_col)
-    a = e.select(F.col(id_col).alias("src"), F.col("vec_d").alias("va"), F.col("norm").alias("na"))
-    b = e.select(F.col(id_col).alias("dst"), F.col("vec_d").alias("vb"), F.col("norm").alias("nb"))
-    pairs = a.join(b, F.col("src") < F.col("dst")).filter(
-        F.col("dst") - F.col("src") <= block_gap
+    a = e.select(
+        F.col(id_col).alias("src"), F.col("vec_d").alias("va"), F.col("norm").alias("na"),
+        F.floor(F.col(id_col) / block_gap).alias("bucket"),
+    )
+    b = e.select(
+        F.col(id_col).alias("dst"), F.col("vec_d").alias("vb"), F.col("norm").alias("nb"),
+        F.explode(
+            F.array(
+                F.floor(F.col(id_col) / block_gap),
+                F.floor(F.col(id_col) / block_gap) - 1,
+            )
+        ).alias("bucket"),
+    )
+    pairs = a.join(b, "bucket").filter(
+        (F.col("src") < F.col("dst")) & (F.col("dst") - F.col("src") <= block_gap)
     )
     sim = cosine_expr("va", "vb", "na", "nb")
     edges = pairs.select("src", "dst", sim.alias("cos")).filter(F.col("cos") >= threshold)

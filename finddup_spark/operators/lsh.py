@@ -44,10 +44,16 @@ def bucket_histogram(bands: DataFrame) -> DataFrame:
 def candidate_pairs(
     bands: DataFrame,
     cfg: DedupConfig = DEFAULT_CONFIG,
+    cache_handles: list | None = None,
 ) -> tuple[DataFrame, DataFrame]:
     """(pairs, stats) — pairs(src, dst) with src < dst, distinct across
     bands; stats is a tiny DataFrame of hot-bucket truncation metrics for
-    the lineage sink (no silent caps)."""
+    the lineage sink (no silent caps).
+
+    The bucket-keyed band table is persisted (four downstream consumers);
+    callers that own no session-wide clearCache (standalone operators)
+    pass ``cache_handles`` and unpersist its entries once the pair stream
+    has been materialized."""
     # ONE exchange for the whole pair generator: bucket size via a window
     # count instead of groupBy + join-back (which exchanged the full band
     # table twice more); the persisted window output keeps its
@@ -57,6 +63,8 @@ def candidate_pairs(
     keyed = bands.withColumn(
         "bucket_size", F.count(F.lit(1)).over(w)
     ).persist()
+    if cache_handles is not None:
+        cache_handles.append(keyed)
 
     dup_buckets = keyed.filter(F.col("bucket_size") >= 2)
     small = dup_buckets.filter(F.col("bucket_size") <= cfg.hot_bucket_cap)
@@ -216,41 +224,58 @@ def verify_pairs(
 def simhash_candidate_pairs(
     signatures: DataFrame,
     hamming_radius: int = 3,
-    n_chunks: int = 8,
+    n_chunks: int = 4,
+    cfg: DedupConfig = DEFAULT_CONFIG,
+    cache_handles: list | None = None,
 ) -> DataFrame:
     """SimHash near-dup candidates by pivoted exact-match on bit-chunks.
 
-    Pigeonhole: two 64-bit fingerprints within Hamming distance r < n_chunks
-    share at least one of n_chunks 8-bit chunks... (r <= n_chunks - 1
-    guarantees an equal chunk). Exact-match join per chunk index — the
-    multi-index strategy from SURVEY.md §2.3 (no theta join needed).
-    Candidates still require verification (verify_pairs or hamming check).
+    Pigeonhole: two 64-bit fingerprints within Hamming distance
+    r <= n_chunks - 1 share at least one of the n_chunks equal-width
+    chunks, so radius 3 needs only 4 chunks of 16 bits — 65,536 distinct
+    values per chunk index (the previous 8×8-bit split gave 256 values per
+    chunk, i.e. ~N/256 docs per bucket and an O(N²/256) self-join at
+    scale). Exact-match join per chunk index — the multi-index strategy
+    from SURVEY.md §2.3, no theta join.
+
+    The chunk buckets are routed through :func:`candidate_pairs` — the
+    same salted star+clique path the MinHash tier uses — so hot buckets
+    (all-identical fingerprints from boilerplate/exact-dup floods, or the
+    all-zero fingerprint of empty docs) emit O(n) star edges instead of
+    O(n²) pairs. As in the MinHash tier, star pairing of a MIXED hot
+    bucket can skip member-member pairs that only the exhaustive join
+    would surface; the skipped upper bound is in the returned stats and
+    must be logged by callers (no silent caps). Candidates still require
+    the Hamming check applied here (the verification analog).
     """
-    assert hamming_radius < n_chunks
+    assert hamming_radius <= n_chunks - 1
     width = 64 // n_chunks
     chunks = signatures.select(
         "doc_id",
-        "simhash",
         F.explode(
             F.array(*[
                 F.struct(
-                    F.lit(i).alias("chunk_id"),
+                    F.lit(i).alias("band_id"),
                     F.shiftrightunsigned(F.col("simhash"), i * width)
                     .bitwiseAND(F.lit((1 << width) - 1))
-                    .alias("chunk_val"),
+                    .alias("band_hash"),
                 )
                 for i in range(n_chunks)
             ])
         ).alias("c"),
-    ).select("doc_id", "simhash", F.col("c.chunk_id"), F.col("c.chunk_val")).persist()
+    ).select("doc_id", F.col("c.band_id"), F.col("c.band_hash"))
 
-    a = chunks.select("chunk_id", "chunk_val", F.col("doc_id").alias("src"), F.col("simhash").alias("sim_src"))
-    b = chunks.select("chunk_id", "chunk_val", F.col("doc_id").alias("dst"), F.col("simhash").alias("sim_dst"))
-    cand = (
-        a.join(b, ["chunk_id", "chunk_val"])
-        .filter(F.col("src") < F.col("dst"))
-        .select("src", "dst", "sim_src", "sim_dst")
-        .distinct()
+    pairs, stats = candidate_pairs(chunks, cfg, cache_handles=cache_handles)
+    sims = signatures.select(F.col("doc_id").cast("long"), "simhash")
+    withsim = (
+        pairs.join(
+            sims.select(F.col("doc_id").alias("src"), F.col("simhash").alias("sim_src")),
+            "src",
+        )
+        .join(
+            sims.select(F.col("doc_id").alias("dst"), F.col("simhash").alias("sim_dst")),
+            "dst",
+        )
     )
     ham = F.bit_count(F.col("sim_src").bitwiseXOR(F.col("sim_dst")))
-    return cand.filter(ham <= hamming_radius).select("src", "dst", ham.alias("hamming"))
+    return withsim.filter(ham <= hamming_radius).select("src", "dst", ham.alias("hamming"))

@@ -73,7 +73,12 @@ def leaf_rows_from_tables(
     instead of re-scanning the pages source: ``exact`` already carries
     (doc_id, url, n_bytes) for every valid page and ``errors`` the
     failed ones — the full-text column never gets decompressed again.
-    Same output contract as :func:`page_leaf_rows`."""
+
+    Same output contract as :func:`page_leaf_rows` EXCEPT the F1
+    ignored-basename filter: inputs must already be split_ignored-
+    filtered (the pipeline passes kept/exact tables, which are). Callers
+    substituting this for page_leaf_rows on RAW pages would leak ignored
+    rows into dir identity."""
     path = F.regexp_replace("url", r"^[a-z]+://", "")
     parent_of = F.expr(
         "array_join(slice(split(path, '/'), 1, size(split(path, '/')) - 1), '/')"

@@ -126,17 +126,43 @@ def lsh_topk(
     seed: int = 42,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    bucket_cap: int = 1024,
+    return_stats: bool = False,
 ) -> DataFrame:
     """Approximate top-k: candidates from shared LSH buckets, exact cosine
-    re-rank. Same output shape as brute_force_topk."""
+    re-rank. Same output shape as brute_force_topk.
+
+    ``bucket_cap`` bounds the NEIGHBOR side of each (table, bucket): a
+    degenerate bucket (near-zero vectors all hashing together) would
+    otherwise pair all-against-all — O(n²) in that bucket. Capped buckets
+    keep the first ``bucket_cap`` members by id, so per-bucket work is
+    O(n·cap). No silent caps: pass ``return_stats=True`` to also get a
+    one-row DataFrame (n_buckets, capped_buckets, max_bucket) for the
+    lineage sink; recall loss only occurs in buckets wider than the cap
+    (2× the typical bucket count 2^n_planes at default settings).
+    """
     buckets = hyperplane_buckets(emb, dim, n_planes, n_tables, seed, id_col, vec_col)
     a = buckets.select("table_id", "bucket", F.col(id_col).alias("query_id"))
-    b = buckets.select("table_id", "bucket", F.col(id_col).alias("neighbor_id"))
+    wb = Window.partitionBy("table_id", "bucket").orderBy(id_col)
+    b = (
+        buckets.withColumn("__rn", F.row_number().over(wb))
+        .filter(F.col("__rn") <= bucket_cap)
+        .select("table_id", "bucket", F.col(id_col).alias("neighbor_id"))
+    )
     cand = (
         a.join(b, ["table_id", "bucket"])
         .filter(F.col("query_id") != F.col("neighbor_id"))
         .select("query_id", "neighbor_id")
         .distinct()
+    )
+    stats = (
+        buckets.groupBy("table_id", "bucket")
+        .agg(F.count(F.lit(1)).alias("sz"))
+        .agg(
+            F.count(F.lit(1)).alias("n_buckets"),
+            F.sum(F.when(F.col("sz") > bucket_cap, 1).otherwise(0)).alias("capped_buckets"),
+            F.max("sz").alias("max_bucket"),
+        )
     )
     e = with_norm(emb, id_col, vec_col)
     scored = (
@@ -155,4 +181,5 @@ def lsh_topk(
         )
     )
     w = Window.partitionBy("query_id").orderBy(F.desc("cos"), F.asc("neighbor_id"))
-    return scored.withColumn("rank", F.row_number().over(w)).filter(F.col("rank") <= k)
+    topk = scored.withColumn("rank", F.row_number().over(w)).filter(F.col("rank") <= k)
+    return (topk, stats) if return_stats else topk

@@ -122,17 +122,23 @@ def verify_substring_pairs(
     cfg: DedupConfig = DEFAULT_CONFIG,
     id_col: str = "doc_id",
     text_col: str = "text",
+    with_lcs_len: bool = False,
 ) -> DataFrame:
-    """edges(src, dst, sim, method='substring') for pairs sharing a
-    byte-confirmed verbatim span of >= cfg.lcs_min_chars chars.
+    """edges(src, dst, sim, method='substring'[, lcs_len]) for pairs
+    sharing a byte-confirmed verbatim span of >= cfg.lcs_min_chars chars.
 
     Predicate: the pair shares at least one ``min_chars``-byte rolling-hash
     window whose bytes compare equal — exactly "LCS >= min_chars" (the
     boolean the mirror oracle checks), without the per-pair binary-search
-    LCS of :func:`lcs_length` (measured ~30x cheaper; the exact LCS length
-    is still available via lcs_length for callers that need it).
+    LCS of :func:`lcs_length` (measured ~30x cheaper).
     ``sim`` = |shared min_chars-windows| / min(window count) — span
     coverage in [0, 1]; 1.0 for identical texts.
+
+    ``with_lcs_len=True`` additionally emits the EXACT longest-common-
+    substring length per confirmed pair (binary-search
+    :func:`lcs_length`) — for callers that need span lengths (plagiarism
+    spans, contamination audits); off by default because it multiplies
+    per-pair cost by O(log min(len)).
 
     Each distinct doc in an Arrow batch is hashed ONCE (candidate pairs
     cluster around hot docs, so per-pair hashing would recompute the same
@@ -160,13 +166,14 @@ def verify_substring_pairs(
 
     from pyspark.sql.types import DoubleType
 
-    out_schema = StructType(
-        [
-            StructField("src", LongType()),
-            StructField("dst", LongType()),
-            StructField("sim", DoubleType()),
-        ]
-    )
+    out_fields = [
+        StructField("src", LongType()),
+        StructField("dst", LongType()),
+        StructField("sim", DoubleType()),
+    ]
+    if with_lcs_len:
+        out_fields.append(StructField("lcs_len", LongType()))
+    out_schema = StructType(out_fields)
 
     def fn(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         # per-doc window-hash cache: candidate pairs cluster around hot
@@ -184,6 +191,7 @@ def verify_substring_pairs(
             cache: dict = {}
             n = len(pdf)
             sims = np.zeros(n, dtype=np.float64)
+            lens = np.zeros(n, dtype=np.int64)
             src_v, dst_v = pdf["src"].values, pdf["dst"].values
             ts_v, td_v = pdf["t_src"].values, pdf["t_dst"].values
             for i in range(n):
@@ -207,12 +215,16 @@ def verify_substring_pairs(
                         break
                 if confirmed:
                     sims[i] = len(common) / min(len(sa), len(sb))
+                    if with_lcs_len:
+                        lens[i] = lcs_length(ea, eb)
             keep = sims > 0
-            yield pd.DataFrame(
-                {"src": src_v[keep], "dst": dst_v[keep], "sim": sims[keep]}
-            )
+            out = {"src": src_v[keep], "dst": dst_v[keep], "sim": sims[keep]}
+            if with_lcs_len:
+                out["lcs_len"] = lens[keep]
+            yield pd.DataFrame(out)
 
     verified = joined.select("src", "dst", "t_src", "t_dst").mapInPandas(fn, out_schema)
-    return verified.select(
-        "src", "dst", "sim", F.lit("substring").alias("method")
-    )
+    keep_cols = ["src", "dst", "sim", F.lit("substring").alias("method")]
+    if with_lcs_len:
+        keep_cols.append(F.col("lcs_len"))
+    return verified.select(*keep_cols)

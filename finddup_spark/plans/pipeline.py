@@ -175,38 +175,58 @@ class DedupPipeline:
     # -- the pipeline ----------------------------------------------------
 
     def run(self, pages: DataFrame) -> PipelineRun:
+        import threading
+
         run = PipelineRun(self.out_dir)
         cfg = self.cfg
         kept, ignored = split_ignored(pages) if "url" in pages.columns else (pages, None)
+        if "kind" in pages.columns:
+            from ..operators.exact import split_kinds
+
+            kept, _skipped_kinds = split_kinds(kept)
+
+        # errors stage — the queryable unproc_files analog (doc_id, url).
+        # A direct null-text filter (one column-pruned scan, NO join, no
+        # dependency on the exact table — the round-1 anti-join was both a
+        # shuffle and a serialization point), so it runs CONCURRENTLY with
+        # the exact→signatures chain on a driver thread: its scan overlaps
+        # the exact tier's compute instead of extending the serial floor.
+        id_cols = [c for c in ("doc_id", "url") if c in kept.columns]
+        err_box: dict[str, DataFrame] = {}
+        err_errs: list[BaseException] = []
+
+        def _errors_tier() -> None:
+            err_box["df"] = self._write_stage(
+                run,
+                "errors",
+                lambda: kept.filter(F.col("text").isNull()).select(*id_cols),
+            )
+            errors_df = err_box["df"]
+            if not (self.resume and self._done("errors_lineage")):
+                errs = errors_df.select(
+                    F.lit("errors").alias("stage"),
+                    F.lit(-1).alias("partition_id"),
+                    F.lit(1).cast("long").alias("rows"),
+                    F.lit(0).cast("long").alias("wall_ms"),
+                    F.concat(F.lit("error:"), F.col("url") if "url" in errors_df.columns else F.col("doc_id").cast("string")).alias("status"),
+                )
+                errs.write.mode("append").parquet(os.path.join(self.out_dir, "lineage"))
+                os.makedirs(self._path("errors_lineage"), exist_ok=True)
+                open(os.path.join(self._path("errors_lineage"), "_SUCCESS"), "w").close()
+
+        def _err_guard() -> None:
+            try:
+                _errors_tier()
+            except BaseException as e:
+                err_errs.append(e)
+
+        err_thread = threading.Thread(target=_err_guard, name="errors-tier")
+        err_thread.start()
 
         # stage: exact clusters (every valid page)
         exact = self._write_stage(
             run, "exact_clusters", lambda: exact_clusters(kept, cfg)
         )
-
-        # errors stage table — the queryable unproc_files analog
-        # (doc_id, url); derived as an anti-join against the exact table
-        # (exact covers every VALID page), which column-prunes the pages
-        # scan to ids/urls instead of decompressing all text a 2nd time
-        id_cols = [c for c in ("doc_id", "url") if c in kept.columns]
-        errors_df = self._write_stage(
-            run,
-            "errors",
-            lambda: kept.select(*id_cols).join(
-                exact.select("doc_id"), "doc_id", "left_anti"
-            ),
-        )
-        if not (self.resume and self._done("errors_lineage")):
-            errs = errors_df.select(
-                F.lit("errors").alias("stage"),
-                F.lit(-1).alias("partition_id"),
-                F.lit(1).cast("long").alias("rows"),
-                F.lit(0).cast("long").alias("wall_ms"),
-                F.concat(F.lit("error:"), F.col("url") if "url" in errors_df.columns else F.col("doc_id").cast("string")).alias("status"),
-            )
-            errs.write.mode("append").parquet(os.path.join(self.out_dir, "lineage"))
-            os.makedirs(self._path("errors_lineage"), exist_ok=True)
-            open(os.path.join(self._path("errors_lineage"), "_SUCCESS"), "w").close()
 
         # representatives: one doc per exact cluster (scale: fuzzy work
         # shrinks by the exact-dup ratio, recall unchanged)
@@ -318,7 +338,16 @@ class DedupPipeline:
         for t in threads:
             t.join()
         if errs:
-            raise errs[0]
+            # surface EVERY tier's failure, not just the first: secondary
+            # exceptions chain via __context__ (visible in the traceback)
+            primary = errs[0]
+            ctx = primary
+            for other in errs[1:]:
+                while ctx.__context__ is not None:
+                    ctx = ctx.__context__
+                ctx.__context__ = other
+                ctx = other
+            raise primary
 
         mh_edges = mh_box["edges"]
         sub_edges = None
@@ -387,6 +416,13 @@ class DedupPipeline:
             )
 
         clusters = self._write_stage(run, "clusters", _clusters)
+
+        # the errors tier ran concurrently since the top of run(); its
+        # output is only needed from here on (dirs leaf rows)
+        err_thread.join()
+        if err_errs:
+            raise err_errs[0]
+        errors_df = err_box["df"]
 
         if "url" in pages.columns:
             def _dirs() -> DataFrame:

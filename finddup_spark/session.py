@@ -16,6 +16,18 @@ import os
 from pyspark.sql import SparkSession
 
 
+def _default_heap() -> str:
+    """Half of physical RAM, capped at 24g, floored at 2g — the JVM heap
+    must leave room for python UDF workers and the OS page cache."""
+    try:
+        pages = os.sysconf("SC_PHYS_PAGES")
+        page_size = os.sysconf("SC_PAGE_SIZE")
+        total_gb = pages * page_size / (1 << 30)
+    except (ValueError, OSError):
+        return "8g"
+    return f"{max(2, min(24, int(total_gb // 2)))}g"
+
+
 def get_spark(
     app_name: str = "finddup-spark",
     cores: int | None = None,
@@ -62,12 +74,13 @@ def get_spark(
         # thousands of splits either way and AQE coalesces the excess.
         .config("spark.sql.files.maxPartitionBytes", "33554432")
         .config("spark.sql.session.timeZone", "UTC")
-        # 24g: the rep-text cache plus execution memory must fit without
-        # GC thrash — an 8g heap measured fine to ~500k pages but
+        # 24g cap: the rep-text cache plus execution memory must fit
+        # without GC thrash — an 8g heap measured fine to ~500k pages but
         # disproportionately slowed the HIGH-parallelism leg at ~1M
         # (allocation rate scales with concurrent tasks). Cluster analog:
-        # size executor memory to the cached working set.
-        .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEM", "24g"))
+        # size executor memory to the cached working set. Derived from
+        # physical RAM (half, capped) so small hosts don't overcommit.
+        .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEM", _default_heap()))
         .config("spark.ui.enabled", "false")
         .config("spark.driver.host", "127.0.0.1")
     )

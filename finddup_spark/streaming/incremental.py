@@ -23,16 +23,45 @@ from pyspark.sql import functions as F
 
 STATE_SCHEMA = "content_sha string, cluster_id long"
 
+#: compact when the manifest lists more than this many delta dirs — keeps
+#: the read fan-in (and task count per state read) bounded.
+COMPACT_THRESHOLD = 32
 
-def _state_path(out_dir: str) -> str:
-    return os.path.join(out_dir, "exact_state")
+
+def _manifest_path(out_dir: str) -> str:
+    return os.path.join(out_dir, "exact_state_MANIFEST")
+
+
+def _delta_root(out_dir: str) -> str:
+    return os.path.join(out_dir, "exact_state_deltas")
+
+
+def _committed_deltas(out_dir: str) -> list[str]:
+    mp = _manifest_path(out_dir)
+    if not os.path.exists(mp):
+        return []
+    with open(mp) as f:
+        return [line.strip() for line in f if line.strip()]
+
+
+def _commit_manifest(out_dir: str, deltas: list[str]) -> None:
+    """Atomic commit: the manifest names the committed delta dirs and is
+    replaced via ``os.replace`` (atomic POSIX rename — readers see either
+    the old or the new state, never a partial one). The Iceberg-manifest
+    analog; on real Iceberg the whole layer is ``MERGE INTO``."""
+    mp = _manifest_path(out_dir)
+    tmp = mp + ".tmp"
+    with open(tmp, "w") as f:
+        f.write("\n".join(deltas) + "\n")
+    os.replace(tmp, mp)
 
 
 def read_state(spark: SparkSession, out_dir: str) -> DataFrame:
-    p = _state_path(out_dir)
-    if os.path.exists(p):
-        return spark.read.parquet(p)
-    return spark.createDataFrame([], STATE_SCHEMA)
+    deltas = _committed_deltas(out_dir)
+    if not deltas:
+        return spark.createDataFrame([], STATE_SCHEMA)
+    root = _delta_root(out_dir)
+    return spark.read.parquet(*[os.path.join(root, d) for d in deltas])
 
 
 def merge_batch(
@@ -45,7 +74,20 @@ def merge_batch(
     streaming-consistent min is unobtainable without reprocessing, and
     first-seen matches dedup-pipeline semantics: the earliest crawl is
     the keeper). Returns the batch's assignments.
+
+    State layout (crash-safe, bounded writes): each batch APPENDS one
+    delta parquet dir holding only its NEW hashes (O(|fresh|) write, not
+    an O(|state|) rewrite), then atomically commits a manifest listing
+    the live deltas. A crash before the manifest commit leaves an orphan
+    delta dir that readers never see (and a retried foreachBatch recomputes
+    ``fresh`` against the committed state, so re-delivery adds no
+    duplicates — exactly-once without rewriting). Deltas are compacted
+    into one dir past COMPACT_THRESHOLD; orphans can be GC'd by deleting
+    any dir not named in the manifest.
     """
+    import uuid
+
+    os.makedirs(_delta_root(out_dir), exist_ok=True)
     state = read_state(spark, out_dir)
     hashed = (
         batch.filter(F.col("text").isNotNull())
@@ -58,15 +100,20 @@ def merge_batch(
     fresh = (
         assigned.filter(F.col("cluster_id").isNull())
         .groupBy("content_sha")
-        .agg(F.min("doc_id").alias("cluster_id"))
+        .agg(F.min("doc_id").cast("long").alias("cluster_id"))
     )
-    new_state = state.unionByName(fresh)
-    # idempotent overwrite (exactly-once under foreachBatch retry)
-    tmp = _state_path(out_dir) + "_tmp"
-    new_state.write.mode("overwrite").parquet(tmp)
-    final = _state_path(out_dir)
-    spark.read.parquet(tmp).write.mode("overwrite").parquet(final)
-    out = hashed.join(spark.read.parquet(final), "content_sha").select(
+    delta_name = f"delta_{uuid.uuid4().hex}"
+    fresh.write.mode("overwrite").parquet(os.path.join(_delta_root(out_dir), delta_name))
+    deltas = _committed_deltas(out_dir) + [delta_name]
+    if len(deltas) > COMPACT_THRESHOLD:
+        root = _delta_root(out_dir)
+        compacted = f"compact_{uuid.uuid4().hex}"
+        spark.read.parquet(*[os.path.join(root, d) for d in deltas]).coalesce(
+            max(1, spark.sparkContext.defaultParallelism // 4)
+        ).write.mode("overwrite").parquet(os.path.join(root, compacted))
+        deltas = [compacted]
+    _commit_manifest(out_dir, deltas)
+    out = hashed.join(read_state(spark, out_dir), "content_sha").select(
         "doc_id", "cluster_id", (F.col("doc_id") == F.col("cluster_id")).alias("keep")
     )
     return out

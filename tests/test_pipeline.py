@@ -107,3 +107,44 @@ def test_lcs_length_exact():
     assert lcs_length(b"same", b"same") == 4
     span = b"S" * 600
     assert lcs_length(b"aa" + span + b"bb", b"cc" + span) == 600
+
+
+def test_substring_lcs_len_column(spark):
+    """with_lcs_len=True emits the exact LCS length per edge, checked
+    against an independent O(n·m) dynamic-programming oracle."""
+    import random
+
+    import numpy as np
+    from finddup_spark.operators.substring import (
+        fingerprints,
+        substring_candidates,
+        verify_substring_pairs,
+    )
+
+    rng = random.Random(7)
+    alpha = "abcdefghij"
+    span = "".join(rng.choice(alpha) for _ in range(700))
+    docs = [
+        (0, "X" * 300 + span + "Y" * 200),
+        (1, "Z" * 150 + span + "W" * 400),
+        (2, "".join(rng.choice(alpha) for _ in range(900))),
+    ]
+    sdf = spark.createDataFrame(docs, "doc_id long, text string")
+    pairs, _ = substring_candidates(fingerprints(sdf))
+    edges = verify_substring_pairs(pairs, sdf, with_lcs_len=True).toPandas()
+    assert set(zip(edges.src, edges.dst)) == {(0, 1)}
+
+    def dp_lcs(a: str, b: str) -> int:
+        prev = np.zeros(len(b) + 1, dtype=np.int32)
+        best = 0
+        for i in range(1, len(a) + 1):
+            cur = np.zeros(len(b) + 1, dtype=np.int32)
+            eq = np.frombuffer(b.encode(), dtype=np.uint8) == ord(a[i - 1])
+            cur[1:][eq] = prev[:-1][eq] + 1
+            best = max(best, int(cur.max()))
+            prev = cur
+        return best
+
+    expect = dp_lcs(docs[0][1], docs[1][1])
+    assert expect >= 700
+    assert int(edges.lcs_len.iloc[0]) == expect

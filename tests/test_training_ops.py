@@ -175,3 +175,82 @@ def test_streaming_exact_dedup(spark, tmp_path):
     asg = spark.read.parquet(os.path.join(out, "assignments")).toPandas()
     got = dict(zip(asg.doc_id, asg.cluster_id))
     assert got == {1: 1, 2: 2, 3: 1}
+
+
+# ---- round-2 scale-plan guarantees --------------------------------------
+
+def _physical_plan(df) -> str:
+    return df._jdf.queryExecution().executedPlan().toString()
+
+
+def test_no_nested_loop_joins_in_blocked_candidates(spark, docs, sf0001):
+    """The gap-blocked demo operators must plan as equi hash/sort-merge
+    joins — a BroadcastNestedLoopJoin means the blocking predicate was
+    not part of the join key (O(N²) compares at scale)."""
+    emb = spark.read.parquet(os.path.join(sf0001, "embeddings.parquet"))
+    dim = len(emb.select("embedding").first()[0])
+    for df in (
+        token_jaccard_pairs(docs),
+        embedding_cosine_dedup(emb),
+        lsh_topk(emb, dim=dim, k=3),
+    ):
+        plan = _physical_plan(df)
+        assert "BroadcastNestedLoopJoin" not in plan, plan
+
+
+def test_simhash_skewed_corpus_bounded_pairs(spark):
+    """50k docs where 20k share ONE simhash value (boilerplate flood):
+    candidate generation must emit O(n) star edges for the hot chunk
+    buckets, not the ~2·10^8 all-pairs — and still link every exact-dup
+    member into one cluster via its bucket representative."""
+    from finddup_spark.operators.lsh import simhash_candidate_pairs
+
+    n, n_hot = 50_000, 20_000
+    sdf = spark.range(n).select(
+        F.col("id").alias("doc_id"),
+        F.when(F.col("id") < n_hot, F.lit(0x0123456789ABCDEF))
+        .otherwise(F.xxhash64(F.col("id"))).alias("simhash"),
+    )
+    cand = simhash_candidate_pairs(sdf, hamming_radius=3)
+    n_pairs = cand.count()
+    # star+clique over salted shards: ~n_hot member edges + shard cliques,
+    # plus random 16-bit chunk collisions among the 30k cold docs
+    assert n_pairs < 6 * n, n_pairs
+    # connectivity: hamming-0 edges keep the hot clique in one component
+    from finddup_spark.operators.cc import connected_components
+
+    cl = connected_components(
+        cand.select("src", "dst"), vertices=sdf.select("doc_id")
+    )
+    hot = cl.filter(F.col("doc_id") < n_hot).select("cluster_id").distinct().count()
+    assert hot == 1
+
+
+def test_incremental_state_crash_safety(spark, tmp_path):
+    """A crash between the delta write and the manifest commit must leave
+    the committed state untouched (readable, old version) — the round-1
+    tmp-then-final double overwrite could leave an EMPTY state dir."""
+    import finddup_spark.streaming.incremental as inc
+
+    out = str(tmp_path / "state")
+    b1 = spark.createDataFrame(
+        [(1, "aaa"), (2, "aaa"), (3, "bbb")], "doc_id long, text string"
+    )
+    r1 = inc.merge_batch(spark, b1, out).toPandas()
+    assert set(r1[r1.keep].doc_id) == {1, 3}
+    committed = inc._committed_deltas(out)
+
+    # simulate a crash: an orphan delta dir exists but was never committed
+    orphan = spark.createDataFrame([("zzz", 99)], inc.STATE_SCHEMA)
+    orphan.write.parquet(os.path.join(inc._delta_root(out), "delta_orphan"))
+    assert inc._committed_deltas(out) == committed
+    st = inc.read_state(spark, out).toPandas()
+    assert set(st.content_sha.map(len)) == {64} and len(st) == 2  # aaa,bbb only
+
+    # recovery: the next batch merges against the committed state and the
+    # orphan never surfaces
+    b2 = spark.createDataFrame([(4, "aaa"), (5, "ccc")], "doc_id long, text string")
+    r2 = inc.merge_batch(spark, b2, out).toPandas()
+    assert dict(zip(r2.doc_id, r2.cluster_id)) == {4: 1, 5: 5}
+    # bounded write: batch 2 appended ONE delta, no state rewrite
+    assert len(inc._committed_deltas(out)) == 2
