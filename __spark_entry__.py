@@ -525,7 +525,13 @@ def _q_kind_split(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _q_winnow_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Substring-tier fingerprint index (rows-only; vectorized UDF)."""
+    """Substring-tier fingerprint index (rows-only: winnowing selects the
+    window-minimum of a polynomial rolling hash finalized with splitmix64
+    — wrapping uint64 multiplies that DuckDB/ANSI SQL cannot express
+    (integer ops raise on overflow), and the selected POSITIONS depend on
+    those hash values, so no hash-free SQL reproduces the counts. Gated
+    instead by tests/test_hashing.py::test_winnow_guarantee and
+    tests/test_pipeline.py::test_substring_truth_clusters_united.)"""
     from finddup_spark.operators.substring import fingerprints
     from finddup_spark.sources.tables import pages_from_documents
 
@@ -538,6 +544,11 @@ def _q_winnow_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _q_media_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multimodal binary-column plumbing (rows-only: the deterministic
+    stand-in decoder computes per-byte statistics and an FNV-1a header
+    hash over the blob — byte-level blob iteration and wrapping uint64
+    arithmetic are not expressible in DuckDB SQL. The plumbing is gated
+    by tests/test_training_ops.py::test_multimodal_fake_decode_and_frames.)"""
     from finddup_spark.operators.multimodal import fake_decode_stats, media_from_pages
     from finddup_spark.sources.tables import pages_from_documents
 

@@ -201,7 +201,7 @@ def rollup_dirs(
     spark: SparkSession,
     leaf_rows: DataFrame,
     checkpoint: bool = True,
-    driver_threshold: int = 3_000_000,
+    driver_threshold: int = 150_000,
 ) -> DataFrame:
     """dirs(path, depth, dir_sig, n_bytes, n_children) for every prefix.
 
@@ -210,6 +210,15 @@ def rollup_dirs(
     level up. ``localCheckpoint`` per level keeps the plan flat (the loop
     is the reference's recursion inverted — bottom-up instead of
     post-order DFS).
+
+    ``driver_threshold``: below it the whole rollup runs as vectorized
+    pandas on the driver (a handful of Spark-job overheads beats a
+    sub-second compute); above it the per-level DISTRIBUTED loop runs —
+    measured 1.5-2.5x faster than the driver path already at 1M pages
+    (410k dirs: the driver path's Arrow collect + pandas sort dominate)
+    and, unlike the driver path, it scales with executors. The round-1
+    3M threshold assumed the deepest level held ~all leaves, which is
+    false for real url depth distributions (leaves spread over depths).
     """
     depth_of = F.size(F.split("parent", "/"))
     # persist the leaf rows ONCE: every level filters them by depth, and

@@ -148,14 +148,14 @@ def verify_substring_pairs(
         F.col(id_col).cast("long").alias(id_col), F.col(text_col).alias("__t")
     )
     # prune texts to pair participants first (same rationale as
-    # lsh.verify_pairs: participant ids are broadcast-sized; avoids
-    # shuffling the full corpus text twice)
+    # lsh.verify_pairs; semi-join strategy left to AQE — see the note
+    # there on why a forced broadcast is wrong at web scale)
     participants = (
         pairs.select(F.col("src").alias(id_col))
         .unionByName(pairs.select(F.col("dst").alias(id_col)))
         .distinct()
     )
-    texts = texts.join(F.broadcast(participants), id_col, "left_semi")
+    texts = texts.join(participants, id_col, "left_semi")
     joined = (
         pairs.join(texts.withColumnRenamed(id_col, "src").withColumnRenamed("__t", "t_src"), "src")
         .join(texts.withColumnRenamed(id_col, "dst").withColumnRenamed("__t", "t_dst"), "dst")
