@@ -395,6 +395,21 @@ def _q_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _q_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF-Flat approximate top-k (coarse-quantize → probe → exact
+    re-rank). Fully oracled: the trainless coarse quantizer (lowest-id
+    vectors as centroids) and the 6-decimal-rounded assignment scores
+    make cell membership reproducible in SQL."""
+    from finddup_spark.operators.simsearch import ivf_topk
+
+    return ivf_topk(_emb(spark, sf_dir), k=3, n_cells=16, n_probe=4).select(
+        F.col("query_id").cast("long").alias("query_id"),
+        F.col("neighbor_id").cast("long").alias("neighbor_id"),
+        "cos",
+        F.col("rank").cast("long").alias("rank"),
+    )
+
+
 def _q_anti_join_uniques(spark: SparkSession, sf_dir: str) -> DataFrame:
     """J2 set-complement (reference invalidation anti-join,
     finddup.py:1000-1005): docs whose content has no duplicate."""
@@ -582,6 +597,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "minhash_dedup": _q_minhash_dedup,
         "simhash_dedup": _q_simhash_dedup,
         "lsh_topk": _q_lsh_topk,
+        "ivf_topk": _q_ivf_topk,
         "media_stats": _q_media_stats,
         "anti_join_uniques": _q_anti_join_uniques,
         "pipeline_pages": _q_pipeline_pages,
@@ -968,6 +984,45 @@ def oracle_sql() -> dict[str, str]:
             FROM reach GROUP BY a
         """,
         "lsh_topk": _lsh_topk_sql(),
+        "ivf_topk": """
+            WITH v AS (
+                SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings
+            ),
+            cents AS (
+                SELECT vec_id AS cell, e AS ce FROM v ORDER BY vec_id LIMIT 16
+            ),
+            sc AS (
+                SELECT v.vec_id, c.cell,
+                       row_number() OVER (
+                           PARTITION BY v.vec_id
+                           ORDER BY round(list_cosine_similarity(v.e, c.ce), 6) DESC,
+                                    c.cell
+                       ) AS r
+                FROM v CROSS JOIN cents c
+            ),
+            assigned AS (SELECT vec_id, cell FROM sc WHERE r = 1),
+            probes AS (SELECT vec_id AS query_id, cell FROM sc WHERE r <= 4),
+            cand AS (
+                SELECT DISTINCT p.query_id, a.vec_id AS neighbor_id
+                FROM probes p JOIN assigned a USING (cell)
+                WHERE p.query_id != a.vec_id
+            ),
+            scored AS (
+                SELECT c.query_id, c.neighbor_id,
+                       round(list_cosine_similarity(va.e, vb.e), 6) AS cos
+                FROM cand c
+                JOIN v va ON va.vec_id = c.query_id
+                JOIN v vb ON vb.vec_id = c.neighbor_id
+            )
+            SELECT CAST(query_id AS BIGINT) AS query_id,
+                   CAST(neighbor_id AS BIGINT) AS neighbor_id,
+                   cos,
+                   CAST(row_number() OVER (
+                       PARTITION BY query_id ORDER BY cos DESC, neighbor_id
+                   ) AS BIGINT) AS rank
+            FROM scored
+            QUALIFY rank <= 3
+        """,
         "site_rollup": """
             WITH pages AS (
                 SELECT doc_id, source, text FROM documents

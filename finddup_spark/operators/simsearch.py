@@ -117,6 +117,92 @@ def hyperplane_buckets(
     ).select("table_id", "bucket", id_col)
 
 
+def ivf_topk(
+    emb: DataFrame,
+    k: int = 3,
+    n_cells: int = 16,
+    n_probe: int = 4,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """IVF-Flat approximate top-k: coarse-quantize vectors into cells,
+    probe the ``n_probe`` nearest cells per query, exact-cosine re-rank.
+    Same output shape as brute_force_topk.
+
+    The coarse quantizer here is the ``n_cells`` lowest-id vectors used
+    as centroids — deterministic, trainless, and (for i.i.d. embedding
+    data) equivalent to a random sample, which is a standard cheap
+    alternative to k-means for the IVF coarse stage. Production swaps a
+    trained quantizer into the same plumbing; everything downstream
+    (assignment, cell join, probe, re-rank) is unchanged.
+
+    Scale shape: centroids are broadcast (n_cells rows); assignment is a
+    broadcast cross-join + window argmax — O(N·n_cells) compares with no
+    N×N anywhere; the candidate join is an equi join on cell id, and
+    per-query work is bounded by the probed cells' population (cells are
+    ~N/n_cells for i.i.d. data; skewed cells would be handled like hot
+    LSH buckets — salt or cap with logged truncation).
+
+    Assignment and probe scores are rounded to 6 decimals with ties
+    broken by centroid id, so an independent SQL oracle reproduces cell
+    membership bit-for-bit (float summation order differs between
+    engines; unrounded argmax could flip near-ties).
+    """
+    e = with_norm(emb, id_col, vec_col)
+    cents = (
+        e.orderBy(id_col)
+        .limit(n_cells)
+        .select(
+            F.col(id_col).alias("cell"),
+            F.col("vec_d").alias("vcent"),
+            F.col("norm").alias("ncent"),
+        )
+    )
+    scored_cells = (
+        e.crossJoin(F.broadcast(cents))
+        .select(
+            id_col, "vec_d", "norm", "cell",
+            F.round(cosine_expr("vec_d", "vcent", "norm", "ncent"), 6).alias("cs"),
+        )
+    )
+    w_assign = Window.partitionBy(id_col).orderBy(F.desc("cs"), F.asc("cell"))
+    assigned = (
+        scored_cells.withColumn("__r", F.row_number().over(w_assign))
+        .filter(F.col("__r") == 1)
+        .select(id_col, "cell")
+    )
+    probes = (
+        scored_cells.withColumn("__r", F.row_number().over(w_assign))
+        .filter(F.col("__r") <= n_probe)
+        .select(F.col(id_col).alias("query_id"), "cell")
+    )
+    cand = (
+        probes.join(
+            assigned.select(F.col(id_col).alias("neighbor_id"), "cell"), "cell"
+        )
+        .filter(F.col("query_id") != F.col("neighbor_id"))
+        .select("query_id", "neighbor_id")
+        .distinct()
+    )
+    scored = (
+        cand.join(
+            e.select(F.col(id_col).alias("query_id"), F.col("vec_d").alias("vq"), F.col("norm").alias("nq")),
+            "query_id",
+        )
+        .join(
+            e.select(F.col(id_col).alias("neighbor_id"), F.col("vec_d").alias("vc"), F.col("norm").alias("nc")),
+            "neighbor_id",
+        )
+        .select(
+            "query_id",
+            "neighbor_id",
+            F.round(cosine_expr("vq", "vc", "nq", "nc"), 6).alias("cos"),
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("cos"), F.asc("neighbor_id"))
+    return scored.withColumn("rank", F.row_number().over(w)).filter(F.col("rank") <= k)
+
+
 def lsh_topk(
     emb: DataFrame,
     dim: int,

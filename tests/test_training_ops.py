@@ -254,3 +254,28 @@ def test_incremental_state_crash_safety(spark, tmp_path):
     assert dict(zip(r2.doc_id, r2.cluster_id)) == {4: 1, 5: 5}
     # bounded write: batch 2 appended ONE delta, no state rewrite
     assert len(inc._committed_deltas(out)) == 2
+
+
+def test_ivf_topk_recall_vs_brute_force(spark, sf0001):
+    """IVF-Flat: recall grows with probes and reaches EXACTLY the
+    brute-force result when every cell is probed (i.i.d. gaussian 64-d
+    embeddings are near-orthogonal, so partial-probe recall is modest by
+    nature — the guarantees are monotonicity and full-probe exactness)."""
+    from finddup_spark.operators.simsearch import ivf_topk
+
+    emb = spark.read.parquet(os.path.join(sf0001, "embeddings.parquet"))
+    truth = brute_force_topk(emb, k=3).toPandas()
+    t = set(zip(truth.query_id, truth.neighbor_id))
+
+    recalls = {}
+    for n_probe in (2, 4, 16):
+        approx = ivf_topk(emb, k=3, n_cells=16, n_probe=n_probe).toPandas()
+        a = set(zip(approx.query_id, approx.neighbor_id))
+        recalls[n_probe] = len(t & a) / len(t)
+        # ranks are dense 1..k per query
+        assert approx.groupby("query_id")["rank"].apply(
+            lambda s: sorted(s) == list(range(1, len(s) + 1))
+        ).all()
+    assert recalls[2] >= 0.2, recalls
+    assert recalls[2] <= recalls[4] <= recalls[16], recalls
+    assert recalls[16] == 1.0, recalls  # probe-all == exhaustive
