@@ -489,6 +489,46 @@ def _q_site_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _q_site_rollup_deep(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multi-LEVEL dir rollup (the reference's recursion,
+    finddup.py:571-627, as the engine's depth-wise loop): pages nested
+    two levels deep (srcN/sM/pX.html) plus a full mirror of src1 →
+    the oracle recomputes BOTH levels' sorted-multiset signature chain
+    (depth-2 dirs from leaf cluster ids, depth-1 dirs from depth-2
+    signatures) and the dup statuses the mirror induces at both depths."""
+    from finddup_spark.operators.exact import exact_clusters
+    from finddup_spark.operators.rollup import analyze_dirs, page_leaf_rows, rollup_dirs
+
+    base = _docs(spark, sf_dir).select(
+        "doc_id", "source", "text",
+        F.concat(F.lit("s"), F.pmod("doc_id", 3).cast("string")).alias("sub"),
+    )
+    mk = lambda host: F.concat(
+        host, F.lit("/"), F.col("sub"), F.lit("/p"),
+        F.col("doc_id").cast("string"), F.lit(".html"),
+    )
+    pages = base.select(
+        "doc_id", mk(F.col("source")).alias("url"), "text"
+    ).unionByName(
+        base.filter(F.col("source") == "src1").select(
+            (F.col("doc_id") + 10000).alias("doc_id"),
+            mk(F.lit("mirror.src1")).alias("url"),
+            "text",
+        )
+    )
+    clusters = exact_clusters(pages)
+    dirs = rollup_dirs(spark, page_leaf_rows(pages, clusters))
+    return analyze_dirs(dirs).select(
+        "path",
+        F.col("depth").cast("long").alias("depth"),
+        "dir_sig",
+        F.col("n_bytes").cast("long").alias("n_bytes"),
+        F.col("n_children").cast("long").alias("n_children"),
+        "status",
+        "dir_cluster",
+    )
+
+
 def _q_unproc_report(spark: SparkSession, sf_dir: str) -> DataFrame:
     """S6/O3 categorized unprocessed report (finddup.py:1207-1270):
     ignored / redirect / fetch_error / changed / unreadable rows with
@@ -513,6 +553,43 @@ def _q_unproc_report(spark: SparkSession, sf_dir: str) -> DataFrame:
     changed = d.filter(F.pmod("doc_id", 17) == 0).select("doc_id")
     return unproc_report(d, changed_ids=changed).select(
         "category", "url", F.col("seq").cast("long").alias("seq")
+    )
+
+
+def _q_training_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """End-to-end training-data curation composite — the query a real
+    LLM-data pipeline runs: near-dup dedup keep-list (MinHash+LSH+CC) ∘
+    quality gate (heuristic score >= 0.9) ∘ language agreement, reported
+    per language with drop-reason accounting. Every stage is the real
+    engine operator; the oracle recomputes the whole composition in SQL
+    (shingle-Jaccard CC + the quality formula)."""
+    from finddup_spark.functions.textstats import text_stats
+    from finddup_spark.operators.dedup import minhash_dedup
+
+    docs = _docs(spark, sf_dir)
+    stats = text_stats(docs).select("doc_id", "n_tokens", "quality", "lang_guess")
+    dedup = minhash_dedup(docs).select("doc_id", "keep")
+    j = (
+        docs.select("doc_id", "lang")
+        .join(stats, "doc_id")
+        .join(dedup, "doc_id")
+        .select(
+            "lang",
+            "n_tokens",
+            F.col("keep").cast("boolean").alias("keep"),
+            (F.col("quality") >= 0.9).alias("hq"),
+            (F.col("lang_guess") == F.col("lang")).alias("lang_ok"),
+        )
+    )
+    return j.groupBy("lang").agg(
+        F.count(F.lit(1)).alias("n_total"),
+        F.sum(F.when(~F.col("keep"), 1).otherwise(0)).cast("long").alias("n_dup_dropped"),
+        F.sum(F.when(F.col("keep") & ~F.col("hq"), 1).otherwise(0)).cast("long").alias("n_quality_dropped"),
+        F.sum(F.when(F.col("keep") & F.col("hq") & ~F.col("lang_ok"), 1).otherwise(0)).cast("long").alias("n_lang_dropped"),
+        F.sum(F.when(F.col("keep") & F.col("hq") & F.col("lang_ok"), 1).otherwise(0)).cast("long").alias("n_kept"),
+        F.sum(
+            F.when(F.col("keep") & F.col("hq") & F.col("lang_ok"), F.col("n_tokens")).otherwise(0)
+        ).cast("long").alias("tokens_kept"),
     )
 
 
@@ -589,6 +666,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ignored_split": _q_ignored_split,
         "unproc_report": _q_unproc_report,
         "kind_split": _q_kind_split,
+        "training_corpus": _q_training_corpus,
         "group_size_freq": _q_group_size_freq,
         "uniques_report": _q_uniques_report,
         "human_sizes": _q_human_sizes,
@@ -602,6 +680,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "anti_join_uniques": _q_anti_join_uniques,
         "pipeline_pages": _q_pipeline_pages,
         "site_rollup": _q_site_rollup,
+        "site_rollup_deep": _q_site_rollup_deep,
         "winnow_fingerprints": _q_winnow_fingerprints,
     }
 
@@ -1063,6 +1142,47 @@ def oracle_sql() -> dict[str, str]:
                         ELSE g.dir_cluster END AS dir_cluster
             FROM dirs d LEFT JOIN g USING (dir_sig)
         """,
+        "site_rollup_deep": """
+            WITH p0 AS (
+                SELECT doc_id, source AS host,
+                       's' || CAST(doc_id % 3 AS VARCHAR) AS sub, text
+                FROM documents
+                UNION ALL
+                SELECT doc_id + 10000, 'mirror.src1',
+                       's' || CAST(doc_id % 3 AS VARCHAR), text
+                FROM documents WHERE source = 'src1'
+            ),
+            p AS (
+                SELECT doc_id, host, sub,
+                       octet_length(encode(text)) AS n_bytes,
+                       CAST(min(doc_id) OVER (PARTITION BY text) AS VARCHAR) AS child_sig
+                FROM p0
+            ),
+            d2 AS (
+                SELECT host || '/' || sub AS path, 2 AS depth,
+                       sha256(string_agg(child_sig, ',' ORDER BY child_sig)) AS dir_sig,
+                       CAST(sum(n_bytes) AS BIGINT) AS n_bytes,
+                       count(*) AS n_children
+                FROM p GROUP BY host, sub
+            ),
+            d1 AS (
+                SELECT string_split(path, '/')[1] AS path, 1 AS depth,
+                       sha256(string_agg(dir_sig, ',' ORDER BY dir_sig)) AS dir_sig,
+                       CAST(sum(n_bytes) AS BIGINT) AS n_bytes,
+                       count(*) AS n_children
+                FROM d2 GROUP BY 1
+            ),
+            dirs AS (SELECT * FROM d2 UNION ALL SELECT * FROM d1),
+            g AS (
+                SELECT dir_sig, count(*) AS n_dirs, min(path) AS dir_cluster
+                FROM dirs GROUP BY 1
+            )
+            SELECT d.path, CAST(d.depth AS BIGINT) AS depth, d.dir_sig,
+                   d.n_bytes, d.n_children,
+                   CASE WHEN g.n_dirs > 1 THEN 'dup' ELSE 'unique' END AS status,
+                   g.dir_cluster
+            FROM dirs d JOIN g USING (dir_sig)
+        """,
         "unproc_report": """
             WITH d AS (
                 SELECT doc_id,
@@ -1083,6 +1203,34 @@ def oracle_sql() -> dict[str, str]:
                        PARTITION BY category ORDER BY url
                    ) AS BIGINT) AS seq
             FROM d WHERE category IS NOT NULL
+        """,
+        "training_corpus": f"""
+            WITH RECURSIVE {_JACCARD_EDGES_SQL},
+            keepers AS (
+                SELECT a AS doc_id, (a = min(b)) AS keep
+                FROM reach GROUP BY a
+            ),
+            ts AS ({_TOKEN_STATS_SQL})
+            SELECT d.lang,
+                   count(*) AS n_total,
+                   CAST(sum(CASE WHEN NOT k.keep THEN 1 ELSE 0 END) AS BIGINT)
+                       AS n_dup_dropped,
+                   CAST(sum(CASE WHEN k.keep AND ts.quality < 0.9 THEN 1 ELSE 0 END) AS BIGINT)
+                       AS n_quality_dropped,
+                   CAST(sum(CASE WHEN k.keep AND ts.quality >= 0.9
+                                  AND ts.lang_guess != d.lang THEN 1 ELSE 0 END) AS BIGINT)
+                       AS n_lang_dropped,
+                   CAST(sum(CASE WHEN k.keep AND ts.quality >= 0.9
+                                  AND ts.lang_guess = d.lang THEN 1 ELSE 0 END) AS BIGINT)
+                       AS n_kept,
+                   CAST(sum(CASE WHEN k.keep AND ts.quality >= 0.9
+                                  AND ts.lang_guess = d.lang
+                            THEN ts.n_tokens ELSE 0 END) AS BIGINT)
+                       AS tokens_kept
+            FROM documents d
+            JOIN ts ON ts.doc_id = d.doc_id
+            JOIN keepers k ON k.doc_id = d.doc_id
+            GROUP BY d.lang
         """,
         "kind_split": """
             WITH d AS (
