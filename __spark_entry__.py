@@ -378,6 +378,28 @@ def _q_simhash_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     return simhash_dedup(_docs(spark, sf_dir))
 
 
+def _q_simhash_planted(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SimHash dedup with a BY-CONSTRUCTION oracle: over the doc_id%7==0
+    subset (verified min natural pairwise Hamming = 19 at both sf0.001
+    and sf0.01 — far outside radius 3), exact copies are planted at
+    +10000, so the Hamming-≤3 edge set is exactly the planted pairs and
+    the cluster partition is {id, id+10000}. This hash-checks the full
+    engine path (fingerprint → 16-bit chunk pigeonhole through the
+    salted pair generator → Hamming verify → CC); the unrestricted
+    simhash_dedup stays rows-only (fingerprints aren't SQL-computable)."""
+    from finddup_spark.operators.dedup import simhash_dedup
+
+    d = _docs(spark, sf_dir).filter(F.pmod("doc_id", 7) == 0).select("doc_id", "text")
+    planted = d.unionByName(
+        d.select((F.col("doc_id") + 10000).alias("doc_id"), "text")
+    )
+    return simhash_dedup(planted).select(
+        F.col("doc_id").cast("long").alias("doc_id"),
+        F.col("cluster_id").cast("long").alias("cluster_id"),
+        F.col("keep").cast("string").alias("keep"),
+    )
+
+
 def _q_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Hyperplane-LSH approximate top-k with exact-cosine re-rank. Fully
     oracled: the seeded hyperplanes are embedded as literals in the oracle
@@ -674,6 +696,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "embedding_dedup": _q_embedding_dedup,
         "minhash_dedup": _q_minhash_dedup,
         "simhash_dedup": _q_simhash_dedup,
+        "simhash_planted": _q_simhash_planted,
         "lsh_topk": _q_lsh_topk,
         "ivf_topk": _q_ivf_topk,
         "media_stats": _q_media_stats,
@@ -1063,6 +1086,18 @@ def oracle_sql() -> dict[str, str]:
             FROM reach GROUP BY a
         """,
         "lsh_topk": _lsh_topk_sql(),
+        "simhash_planted": """
+            WITH p AS (
+                SELECT doc_id FROM documents WHERE doc_id % 7 = 0
+                UNION ALL
+                SELECT doc_id + 10000 FROM documents WHERE doc_id % 7 = 0
+            )
+            SELECT CAST(doc_id AS BIGINT) AS doc_id,
+                   CAST(CASE WHEN doc_id >= 10000 THEN doc_id - 10000
+                             ELSE doc_id END AS BIGINT) AS cluster_id,
+                   CAST(doc_id < 10000 AS VARCHAR) AS keep
+            FROM p
+        """,
         "ivf_topk": """
             WITH v AS (
                 SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings
