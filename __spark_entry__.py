@@ -124,22 +124,36 @@ def _q_source_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _doc_offset(spark: SparkSession, sf_dir: str) -> int:
+    """Collision-proof planted-id offset, DERIVED from the data (max
+    doc_id + 1) rather than a baked-in corpus-size assumption — the SQL
+    oracles mirror it with a scalar subquery so both engines agree at any
+    sf."""
+    return int(_docs(spark, sf_dir).agg(F.max("doc_id")).collect()[0][0]) + 1
+
+
+_OFF_SQL = "(SELECT max(doc_id) + 1 FROM documents)"
+
+
 def _planted_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """documents + deterministic exact copies (doc_id%7==0 → doc_id+10000):
-    the sf corpora carry no byte-identical texts (dup_report was a
-    0-row/vacuous pass in round 1), so dup-group queries plant copies by
-    doc_id arithmetic — mirrored verbatim in the oracle SQL."""
+    """documents + deterministic exact copies (doc_id%7==0 → doc_id+off,
+    off = max(doc_id)+1): the sf corpora carry no byte-identical texts
+    (dup_report was a 0-row/vacuous pass in round 1), so dup-group queries
+    plant copies by doc_id arithmetic — mirrored verbatim in the oracle
+    SQL via a scalar subquery, so planted ids never collide with real
+    ones on any corpus size."""
     d = _docs(spark, sf_dir).select("doc_id", "text")
+    off = _doc_offset(spark, sf_dir)
     copies = d.filter(F.pmod("doc_id", 7) == 0).select(
-        (F.col("doc_id") + 10000).alias("doc_id"), "text"
+        (F.col("doc_id") + off).alias("doc_id"), "text"
     )
     return d.unionByName(copies)
 
 
-_PLANTED_SQL = """
+_PLANTED_SQL = f"""
     SELECT doc_id, text FROM documents
     UNION ALL
-    SELECT doc_id + 10000 AS doc_id, text FROM documents WHERE doc_id % 7 = 0
+    SELECT doc_id + {_OFF_SQL} AS doc_id, text FROM documents WHERE doc_id % 7 = 0
 """
 
 
@@ -328,16 +342,19 @@ def _q_embedding_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     Non-vacuous: the sf embeddings have NO natural pair within 0.48 of
     the 0.95 threshold (threshold-boundary float risk is therefore moot),
-    so identical copies are planted at vec_id+50 for vec_id >= 450 —
-    gap exactly 50 (inside the candidate block window), cosine exactly
-    1.0 on both engines → 50 real edges through LSH-blocked verify + CC."""
+    so identical copies of the top-50 vec_ids are planted at +50 — gap
+    exactly 50 (inside the candidate block window), ids derived from
+    max(vec_id) so they never collide with real ones at any corpus size,
+    cosine exactly 1.0 on both engines → 50 real edges through blocked
+    verify + CC."""
     from pyspark.sql import functions as F
 
     from finddup_spark.operators.dedup import embedding_cosine_dedup
 
     emb = _emb(spark, sf_dir).select("vec_id", "embedding")
+    maxv = int(emb.agg(F.max("vec_id")).collect()[0][0])
     planted = emb.unionByName(
-        emb.filter(F.col("vec_id") >= 450).select(
+        emb.filter(F.col("vec_id") >= maxv - 49).select(
             (F.col("vec_id") + 50).alias("vec_id"), "embedding"
         )
     )
@@ -355,10 +372,13 @@ def _q_minhash_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     shingles ≡ the engine's 64-bit hashed shingles up to collisions) and
     resolves clusters with a recursive-CTE transitive closure. The engine
     path is the real scale machinery (OPH signatures → salted LSH bucket
-    join → exact-Jaccard verify → distributed CC)."""
+    join → exact-Jaccard verify → distributed CC). ``oracle_guard``
+    asserts the oracle's empirical soundness preconditions (no hot-bucket
+    truncation, no threshold-boundary pair) instead of letting a future
+    corpus silently hash-diverge."""
     from finddup_spark.operators.dedup import minhash_dedup
 
-    return minhash_dedup(_docs(spark, sf_dir)).select(
+    return minhash_dedup(_docs(spark, sf_dir), oracle_guard=True).select(
         F.col("doc_id").cast("long").alias("doc_id"),
         F.col("cluster_id").cast("long").alias("cluster_id"),
         F.col("keep").cast("string").alias("keep"),
@@ -382,16 +402,19 @@ def _q_simhash_planted(spark: SparkSession, sf_dir: str) -> DataFrame:
     """SimHash dedup with a BY-CONSTRUCTION oracle: over the doc_id%7==0
     subset (verified min natural pairwise Hamming = 19 at both sf0.001
     and sf0.01 — far outside radius 3), exact copies are planted at
-    +10000, so the Hamming-≤3 edge set is exactly the planted pairs and
-    the cluster partition is {id, id+10000}. This hash-checks the full
-    engine path (fingerprint → 16-bit chunk pigeonhole through the
-    salted pair generator → Hamming verify → CC); the unrestricted
-    simhash_dedup stays rows-only (fingerprints aren't SQL-computable)."""
+    +off (off = max(doc_id)+1, derived from the data so planted ids never
+    collide with real ones), so the Hamming-≤3 edge set is exactly the
+    planted pairs and the cluster partition is {id, id+off}. This
+    hash-checks the full engine path (fingerprint → 16-bit chunk
+    pigeonhole through the salted pair generator → Hamming verify → CC);
+    the unrestricted simhash_dedup stays rows-only (fingerprints aren't
+    SQL-computable)."""
     from finddup_spark.operators.dedup import simhash_dedup
 
+    off = _doc_offset(spark, sf_dir)
     d = _docs(spark, sf_dir).filter(F.pmod("doc_id", 7) == 0).select("doc_id", "text")
     planted = d.unionByName(
-        d.select((F.col("doc_id") + 10000).alias("doc_id"), "text")
+        d.select((F.col("doc_id") + off).alias("doc_id"), "text")
     )
     return simhash_dedup(planted).select(
         F.col("doc_id").cast("long").alias("doc_id"),
@@ -409,6 +432,13 @@ def _q_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     emb = _emb(spark, sf_dir)
     dim = len(emb.select("embedding").first()[0])
+    if dim != _LSH_ORACLE_DIM:
+        # the oracle's hyperplane literals are generated for this dim —
+        # diverge LOUDLY instead of silently hashing different buckets
+        raise ValueError(
+            f"lsh_topk oracle pair is built for dim={_LSH_ORACLE_DIM}, "
+            f"data has dim={dim}; regenerate _lsh_topk_sql for this dim"
+        )
     return lsh_topk(emb, dim=dim, k=3).select(
         F.col("query_id").cast("long").alias("query_id"),
         F.col("neighbor_id").cast("long").alias("neighbor_id"),
@@ -482,16 +512,17 @@ def _q_site_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     from finddup_spark.operators.rollup import analyze_dirs, page_leaf_rows, rollup_dirs
     from finddup_spark.sources.tables import pages_from_documents
 
+    off = _doc_offset(spark, sf_dir)
     pages = pages_from_documents(spark, sf_dir)
     src1 = pages.filter(F.col("url").startswith("https://src1/"))
     mirror = src1.select(
-        (F.col("doc_id") + 10000).alias("doc_id"),
+        (F.col("doc_id") + off).alias("doc_id"),
         F.regexp_replace("url", "^https://src1/", "https://mirror.src1/").alias("url"),
         "warc_ts", "html", "text", "lang",
     )
     err = spark.range(1).select(
-        F.lit(20001).cast(pages.schema["doc_id"].dataType).alias("doc_id"),
-        F.lit("https://src3/err20001.html").alias("url"),
+        F.lit(2 * off).cast(pages.schema["doc_id"].dataType).alias("doc_id"),
+        F.lit("https://src3/err-planted.html").alias("url"),
         F.to_timestamp(F.lit("2024-01-01 00:00:00")).alias("warc_ts"),
         F.lit(None).cast("binary").alias("html"),
         F.lit(None).cast("string").alias("text"),
@@ -521,6 +552,7 @@ def _q_site_rollup_deep(spark: SparkSession, sf_dir: str) -> DataFrame:
     from finddup_spark.operators.exact import exact_clusters
     from finddup_spark.operators.rollup import analyze_dirs, page_leaf_rows, rollup_dirs
 
+    off = _doc_offset(spark, sf_dir)
     base = _docs(spark, sf_dir).select(
         "doc_id", "source", "text",
         F.concat(F.lit("s"), F.pmod("doc_id", 3).cast("string")).alias("sub"),
@@ -533,7 +565,7 @@ def _q_site_rollup_deep(spark: SparkSession, sf_dir: str) -> DataFrame:
         "doc_id", mk(F.col("source")).alias("url"), "text"
     ).unionByName(
         base.filter(F.col("source") == "src1").select(
-            (F.col("doc_id") + 10000).alias("doc_id"),
+            (F.col("doc_id") + off).alias("doc_id"),
             mk(F.lit("mirror.src1")).alias("url"),
             "text",
         )
@@ -590,7 +622,7 @@ def _q_training_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     docs = _docs(spark, sf_dir)
     stats = text_stats(docs).select("doc_id", "n_tokens", "quality", "lang_guess")
-    dedup = minhash_dedup(docs).select("doc_id", "keep")
+    dedup = minhash_dedup(docs, oracle_guard=True).select("doc_id", "keep")
     j = (
         docs.select("doc_id", "lang")
         .join(stats, "doc_id")
@@ -769,6 +801,16 @@ FROM stats s JOIN ev e USING (doc_id)
 # the sf corpora have no pair within [0.7, 0.85] of the threshold, so the
 # decision boundary is collision- and float-safe. Docs shorter than 5
 # tokens take one whole-doc shingle (signatures._batch_shingles).
+#
+# SOUNDNESS of equating the engine's banded-LSH+star edge set with this
+# exhaustive edge set is empirical, and the preconditions are ENFORCED at
+# query time by minhash_dedup(oracle_guard=True): (a) no hot band bucket
+# was star-truncated (pairs_truncated_upper_bound == 0), and (b) no
+# verified pair falls within 0.05 of the threshold. Given (b), the band
+# miss probability for any accepted pair is at most
+# (1 - s^r)^b = (1 - 0.85^4)^32 ≈ 4e-9 (b=32 bands, r=4 rows) — and the
+# guard turns a violated precondition into a loud failure instead of a
+# silent hash mismatch.
 _JACCARD_EDGES_SQL = """
     toks AS (
         SELECT doc_id, string_split(text, ' ') AS t FROM documents
@@ -801,14 +843,20 @@ _JACCARD_EDGES_SQL = """
 """
 
 
+_LSH_ORACLE_DIM = 64  # _q_lsh_topk raises if the data disagrees
+
+
 def _lsh_topk_sql() -> str:
     """Random-hyperplane LSH top-k oracle: the seeded hyperplane matrix is
     embedded as SQL literals, so DuckDB reproduces the engine's bucket
     assignment (sign of <v, h> per plane packed into an int key), the
-    shared-bucket candidate join, and the exact-cosine re-rank."""
+    shared-bucket candidate join — INCLUDING the engine's default
+    ``bucket_cap`` truncation of the neighbor side (first 1024 members per
+    (table, bucket) by vec_id) — and the exact-cosine re-rank."""
     from finddup_spark.operators.simsearch import _hyperplanes
 
-    n_planes, n_tables, seed, dim, k = 10, 6, 42, 64, 3
+    n_planes, n_tables, seed, dim, k = 10, 6, 42, _LSH_ORACLE_DIM, 3
+    bucket_cap = 1024  # lsh_topk's default — modeled, not assumed away
     planes = _hyperplanes(dim, n_planes, n_tables, seed)
     tbl_selects = []
     for t in range(n_tables):
@@ -828,11 +876,19 @@ def _lsh_topk_sql() -> str:
             SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings
         ),
         b AS ({buckets}),
+        bcap AS (
+            SELECT vec_id, table_id, bucket,
+                   row_number() OVER (
+                       PARTITION BY table_id, bucket ORDER BY vec_id
+                   ) AS rn
+            FROM b
+        ),
         cand AS (
             SELECT DISTINCT a.vec_id AS query_id, b2.vec_id AS neighbor_id
-            FROM b a JOIN b b2
+            FROM b a JOIN bcap b2
               ON a.table_id = b2.table_id AND a.bucket = b2.bucket
              AND a.vec_id != b2.vec_id
+            WHERE b2.rn <= {bucket_cap}
         ),
         scored AS (
             SELECT c.query_id, c.neighbor_id,
@@ -1049,7 +1105,8 @@ def oracle_sql() -> dict[str, str]:
             WITH RECURSIVE pv AS (
                 SELECT vec_id, embedding FROM embeddings
                 UNION ALL
-                SELECT vec_id + 50, embedding FROM embeddings WHERE vec_id >= 450
+                SELECT vec_id + 50, embedding FROM embeddings
+                WHERE vec_id >= (SELECT max(vec_id) FROM embeddings) - 49
             ),
             e AS (
                 SELECT CAST(a.vec_id AS BIGINT) AS src,
@@ -1086,16 +1143,16 @@ def oracle_sql() -> dict[str, str]:
             FROM reach GROUP BY a
         """,
         "lsh_topk": _lsh_topk_sql(),
-        "simhash_planted": """
+        "simhash_planted": f"""
             WITH p AS (
                 SELECT doc_id FROM documents WHERE doc_id % 7 = 0
                 UNION ALL
-                SELECT doc_id + 10000 FROM documents WHERE doc_id % 7 = 0
+                SELECT doc_id + {_OFF_SQL} FROM documents WHERE doc_id % 7 = 0
             )
             SELECT CAST(doc_id AS BIGINT) AS doc_id,
-                   CAST(CASE WHEN doc_id >= 10000 THEN doc_id - 10000
+                   CAST(CASE WHEN doc_id >= {_OFF_SQL} THEN doc_id - {_OFF_SQL}
                              ELSE doc_id END AS BIGINT) AS cluster_id,
-                   CAST(doc_id < 10000 AS VARCHAR) AS keep
+                   CAST(doc_id < {_OFF_SQL} AS VARCHAR) AS keep
             FROM p
         """,
         "ivf_topk": """
@@ -1137,14 +1194,14 @@ def oracle_sql() -> dict[str, str]:
             FROM scored
             QUALIFY rank <= 3
         """,
-        "site_rollup": """
+        "site_rollup": f"""
             WITH pages AS (
                 SELECT doc_id, source, text FROM documents
                 UNION ALL
-                SELECT doc_id + 10000, 'mirror.src1', text
+                SELECT doc_id + {_OFF_SQL}, 'mirror.src1', text
                 FROM documents WHERE source = 'src1'
                 UNION ALL
-                SELECT 20001, 'src3', NULL
+                SELECT 2 * {_OFF_SQL}, 'src3', NULL
             ),
             cl AS (
                 SELECT doc_id, source,
@@ -1177,13 +1234,13 @@ def oracle_sql() -> dict[str, str]:
                         ELSE g.dir_cluster END AS dir_cluster
             FROM dirs d LEFT JOIN g USING (dir_sig)
         """,
-        "site_rollup_deep": """
+        "site_rollup_deep": f"""
             WITH p0 AS (
                 SELECT doc_id, source AS host,
                        's' || CAST(doc_id % 3 AS VARCHAR) AS sub, text
                 FROM documents
                 UNION ALL
-                SELECT doc_id + 10000, 'mirror.src1',
+                SELECT doc_id + {_OFF_SQL}, 'mirror.src1',
                        's' || CAST(doc_id % 3 AS VARCHAR), text
                 FROM documents WHERE source = 'src1'
             ),

@@ -241,20 +241,31 @@ def connected_components_star(
         prev_sig = sig
 
     if not converged:
-        # label extraction below assumes every edge is a star (u = root),
-        # which only holds at the fixpoint — exiting silently via
-        # max_iters would produce wrong labels. Verify star-ness with one
-        # aggregate (no root may appear as a member) and fail loudly.
+        # label extraction below assumes the graph is a union of DISJOINT
+        # stars rooted at each component's minimum, which only holds at
+        # the fixpoint — exiting silently via max_iters would produce
+        # wrong labels. Star-shape alone (no root appears as a member) is
+        # NOT enough: a member hanging under two roots still passes it,
+        # yet its two roots belong to one component and would get
+        # different labels. Verify both properties and fail loudly; with
+        # edges canonicalized u < v, disjoint stars are automatically
+        # rooted at their component minimum.
         non_star = (
             e.select(F.col("u").alias("x"))
             .join(e.select(F.col("v").alias("x")), "x", "left_semi")
             .limit(1)
             .count()
         )
-        if non_star:
+        multi_root = (
+            e.groupBy("v").agg(F.count(F.lit(1)).alias("n"))
+            .filter(F.col("n") > 1)
+            .limit(1)
+            .count()
+        )
+        if non_star or multi_root:
             raise RuntimeError(
                 f"star CC did not converge in {max_iters} iterations "
-                "(non-star edges remain) — raise max_iters"
+                "(non-star or multi-root edges remain) — raise max_iters"
             )
 
     # converged: every edge is (root, member) with root = component min

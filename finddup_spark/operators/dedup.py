@@ -35,12 +35,46 @@ def minhash_dedup(
     cfg: DedupConfig = DEFAULT_CONFIG,
     id_col: str = "doc_id",
     text_col: str = "text",
+    oracle_guard: bool = False,
 ) -> DataFrame:
-    """Near-dup dedup at cfg.verify_jaccard: (doc_id, cluster_id, keep)."""
+    """Near-dup dedup at cfg.verify_jaccard: (doc_id, cluster_id, keep).
+
+    ``oracle_guard=True`` makes the soundness preconditions of the exact
+    all-pairs SQL oracle EXPLICIT (they are empirical, not structural):
+    the engine's edge set equals the exhaustive shingle-Jaccard edge set
+    only when (a) no hot band bucket was star-truncated and (b) no
+    verified pair sits near the threshold where a band miss is even
+    conceivable (at b=32, r=4 the miss probability for a pair AT
+    s=verify_jaccard=0.8 is (1-0.8^4)^32 ≈ 5e-8 and falls doubly
+    exponentially above it). The guard fails the query loudly if either
+    precondition breaks on a future corpus instead of letting the hash
+    comparison silently diverge."""
     sigs = compute_signatures(docs, cfg, id_col=id_col, text_col=text_col).persist()
     caches: list = [sigs]
-    pairs, _stats = candidate_pairs(explode_bands(sigs, cfg), cfg, cache_handles=caches)
+    pairs, stats = candidate_pairs(explode_bands(sigs, cfg), cfg, cache_handles=caches)
     edges = verify_pairs(pairs, docs, cfg, id_col=id_col, text_col=text_col)
+    if oracle_guard:
+        edges = edges.persist()
+        caches.append(edges)
+        srow = stats.collect()[0]
+        if (srow["pairs_truncated_upper_bound"] or 0) > 0:
+            raise RuntimeError(
+                "minhash_dedup oracle guard: "
+                f"{srow['hot_buckets']} hot bucket(s) star-truncated "
+                f"(≤{srow['pairs_truncated_upper_bound']} pairs skipped) — "
+                "the exhaustive-Jaccard SQL oracle is not sound for this corpus"
+            )
+        eps = 0.05
+        boundary = (
+            edges.filter(F.col("sim") < cfg.verify_jaccard + eps).limit(1).count()
+        )
+        if boundary:
+            raise RuntimeError(
+                "minhash_dedup oracle guard: a verified pair lies within "
+                f"{eps} of verify_jaccard={cfg.verify_jaccard} — band-miss "
+                "risk is no longer negligible; the exhaustive-Jaccard SQL "
+                "oracle may diverge on this corpus"
+            )
     # vertices from the cheap id scan, NOT the signature table: CC runs
     # its actions eagerly, so the signature/band caches can be dropped
     # here — standalone calls no longer leak them until session clearCache
@@ -63,14 +97,32 @@ def simhash_dedup(
     id_col: str = "doc_id",
     text_col: str = "text",
 ) -> DataFrame:
-    """SimHash dedup: Hamming-ball clustering via bit-chunk pigeonhole."""
+    """SimHash dedup: Hamming-ball clustering via bit-chunk pigeonhole.
+
+    No silent caps: the hot-bucket truncation stats from the salted pair
+    generator are collected (a one-row aggregate over the already-persisted
+    bucket table) and logged at WARNING when any distinct-fingerprint
+    bucket was truncated — the signal a production run alerts on.
+    """
+    import logging
+
     sigs = compute_signatures(
         docs, cfg, id_col=id_col, text_col=text_col, include_shingles=False
     ).persist()
     caches: list = [sigs]
-    cand = simhash_candidate_pairs(
-        sigs, hamming_radius=hamming_radius, cfg=cfg, cache_handles=caches
+    cand, stats = simhash_candidate_pairs(
+        sigs, hamming_radius=hamming_radius, cfg=cfg, cache_handles=caches,
+        return_stats=True,
     )
+    srow = stats.collect()[0]
+    if (srow["hot_buckets"] or 0) > 0:
+        logging.getLogger(__name__).warning(
+            "simhash_dedup: %d hot chunk bucket(s) truncated (max bucket %d, "
+            "skipped-pair upper bound %d) — recall within those buckets is "
+            "star-limited",
+            srow["hot_buckets"], srow["max_bucket"],
+            srow["pairs_truncated_upper_bound"],
+        )
     cl = connected_components(
         cand.select("src", "dst"), vertices=docs.select(F.col(id_col).alias("doc_id"))
     )

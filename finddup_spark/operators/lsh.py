@@ -231,7 +231,8 @@ def simhash_candidate_pairs(
     n_chunks: int = 4,
     cfg: DedupConfig = DEFAULT_CONFIG,
     cache_handles: list | None = None,
-) -> DataFrame:
+    return_stats: bool = False,
+):
     """SimHash near-dup candidates by pivoted exact-match on bit-chunks.
 
     Pigeonhole: two 64-bit fingerprints within Hamming distance
@@ -242,19 +243,53 @@ def simhash_candidate_pairs(
     scale). Exact-match join per chunk index — the multi-index strategy
     from SURVEY.md §2.3, no theta join.
 
-    The chunk buckets are routed through :func:`candidate_pairs` — the
-    same salted star+clique path the MinHash tier uses — so hot buckets
-    (all-identical fingerprints from boilerplate/exact-dup floods, or the
-    all-zero fingerprint of empty docs) emit O(n) star edges instead of
-    O(n²) pairs. As in the MinHash tier, star pairing of a MIXED hot
-    bucket can skip member-member pairs that only the exhaustive join
-    would surface; the skipped upper bound is in the returned stats and
-    must be logged by callers (no silent caps). Candidates still require
-    the Hamming check applied here (the verification analog).
+    Two stages, so identical fingerprints always share one representative:
+
+    1. **Fingerprint collapse.** Docs with the SAME 64-bit fingerprint are
+       Hamming-0 pairs by construction; each fingerprint group emits a
+       star rooted at its min doc_id. This removes the dominant hot-bucket
+       source (exact-dup floods, boilerplate, the all-zero fingerprint of
+       empty docs) before any chunk bucket exists, and guarantees two
+       same-fingerprint docs can never be split across salt shards — the
+       round-2 gap where close non-rep members of a mixed hot bucket could
+       be silently disconnected.
+    2. **Chunk blocking over DISTINCT fingerprints only**, routed through
+       :func:`candidate_pairs` (the same salted star+clique path the
+       MinHash tier uses) and Hamming-verified here. Because each rep
+       carries its whole group (edge of Hamming 0), a member-to-member
+       near-pair across groups is found iff its rep-to-rep pair is — the
+       Hamming distances are identical. The only residual recall loss is a
+       hot bucket of >cfg.hot_bucket_cap DISTINCT fingerprints sharing a
+       16-bit chunk; its skipped-pair upper bound is in the returned stats
+       (``return_stats=True``) and callers on production paths must log it
+       (no silent caps) — :func:`finddup_spark.operators.dedup.simhash_dedup`
+       does.
+
+    Returns edges(src, dst, hamming); with ``return_stats=True`` returns
+    (edges, stats) where stats is the one-row skew/truncation DataFrame
+    from :func:`candidate_pairs` (computed over distinct-fingerprint
+    buckets).
     """
     assert hamming_radius <= n_chunks - 1
+    sims = signatures.select(F.col("doc_id").cast("long").alias("doc_id"), "simhash")
+    # stage 1: one rep per fingerprint; groupBy (partial combine) is
+    # scale-safe; the join back is a plain equi join on simhash where a
+    # pathological identical-fingerprint flood is AQE-skew-join territory,
+    # not a quadratic blowup (rows out = rows in).
+    reps = sims.groupBy("simhash").agg(F.min("doc_id").alias("rep"))
+    star0 = (
+        sims.join(reps, "simhash")
+        .filter(F.col("doc_id") != F.col("rep"))
+        .select(
+            F.col("rep").alias("src"),
+            F.col("doc_id").alias("dst"),
+            F.lit(0).alias("hamming"),
+        )
+    )
+    distinct_fp = reps.select(F.col("rep").alias("doc_id"), "simhash")
+
     width = 64 // n_chunks
-    chunks = signatures.select(
+    chunks = distinct_fp.select(
         "doc_id",
         F.explode(
             F.array(*[
@@ -270,16 +305,19 @@ def simhash_candidate_pairs(
     ).select("doc_id", F.col("c.band_id"), F.col("c.band_hash"))
 
     pairs, stats = candidate_pairs(chunks, cfg, cache_handles=cache_handles)
-    sims = signatures.select(F.col("doc_id").cast("long"), "simhash")
     withsim = (
         pairs.join(
-            sims.select(F.col("doc_id").alias("src"), F.col("simhash").alias("sim_src")),
+            distinct_fp.select(F.col("doc_id").alias("src"), F.col("simhash").alias("sim_src")),
             "src",
         )
         .join(
-            sims.select(F.col("doc_id").alias("dst"), F.col("simhash").alias("sim_dst")),
+            distinct_fp.select(F.col("doc_id").alias("dst"), F.col("simhash").alias("sim_dst")),
             "dst",
         )
     )
     ham = F.bit_count(F.col("sim_src").bitwiseXOR(F.col("sim_dst")))
-    return withsim.filter(ham <= hamming_radius).select("src", "dst", ham.alias("hamming"))
+    rep_edges = withsim.filter(ham <= hamming_radius).select(
+        "src", "dst", ham.alias("hamming")
+    )
+    edges = star0.unionByName(rep_edges)
+    return (edges, stats) if return_stats else edges

@@ -128,14 +128,27 @@ def test_simhash_candidates_find_exact_dups(spark, tiny_corpus):
     pages = load_pages(spark, tiny_corpus[0])
     sigs = compute_signatures(pages).cache()
     cand = simhash_candidate_pairs(sigs, hamming_radius=3).toPandas()
-    # every exact-dup pair has identical simhash → hamming 0 → present
+    # every exact-dup group has one identical simhash → its members are a
+    # hamming-0 star rooted at the group min (the fingerprint-collapse
+    # stage), so the group is CONNECTED in the candidate edge set — the
+    # operator contract is connectivity for CC, not exhaustive pairs
     texts = pages.select("doc_id", "text").toPandas().dropna()
-    got = set(map(tuple, cand[["src", "dst"]].values.tolist()))
+    parent: dict = {}
+
+    def find(x):
+        parent.setdefault(x, x)
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    for s, d in cand[["src", "dst"]].values.tolist():
+        parent[find(s)] = find(d)
     for _, grp in texts.groupby("text"):
         ids = sorted(grp.doc_id)
-        for i in range(len(ids)):
-            for j in range(i + 1, len(ids)):
-                assert (ids[i], ids[j]) in got
+        assert len({find(i) for i in ids}) == 1, ids
+    star = cand[cand.hamming == 0]
+    assert (star.src < star.dst).all()
     assert (cand.hamming <= 3).all()
 
 
