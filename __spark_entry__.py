@@ -365,6 +365,36 @@ def _q_embedding_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("keep").cast("string").alias("keep"),
     )
 
+def _q_embedding_lsh_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PRODUCTION embedding dedup (hyperplane-LSH blocked pairs →
+    exact-cosine verify → CC) — the path that finds a copy at ANY id
+    distance, unlike the id-gap demo. Fully oracled: identical copies of
+    every 10th vec_id (excluding the top 100, so every planted gap is
+    ≥ 202 ids — far outside the demo's 50-id window) are planted at the
+    REVERSED id 2·max+2−v, and the oracle computes the exhaustive
+    all-pairs cosine≥0.95 edge set + recursive-CTE CC. Soundness: an
+    identical copy shares every LSH bucket with its original (equal
+    projections ⇒ equal signs), so the engine finds every planted pair
+    with probability 1; the sf corpus has no natural pair within 0.48 of
+    the threshold, and the oracle_guard asserts no hot-bucket truncation
+    — under those preconditions the LSH edge set IS the exhaustive one."""
+    from finddup_spark.operators.dedup import embedding_lsh_dedup
+
+    emb = _emb(spark, sf_dir).select("vec_id", "embedding")
+    maxv = int(emb.agg(F.max("vec_id")).collect()[0][0])
+    dim = len(emb.select("embedding").first()[0])
+    copies = emb.filter(
+        (F.pmod("vec_id", 10) == 0) & (F.col("vec_id") <= maxv - 100)
+    ).select((F.lit(2 * maxv + 2) - F.col("vec_id")).alias("vec_id"), "embedding")
+    planted = emb.unionByName(copies)
+    out = embedding_lsh_dedup(planted, dim=dim, threshold=0.95, oracle_guard=True)
+    return out.select(
+        F.col("vec_id").cast("long").alias("vec_id"),
+        F.col("cluster_id").cast("long").alias("cluster_id"),
+        F.col("keep").cast("string").alias("keep"),
+    )
+
+
 def _q_minhash_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """MinHash+LSH+CC near-dup dedup. Fully oracled: the sf corpora carry
     natural near-dup pairs (shingle Jaccard ≥ 0.85), and the oracle SQL
@@ -689,17 +719,65 @@ def _q_winnow_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def _q_media_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Multimodal binary-column plumbing (rows-only: the deterministic
-    stand-in decoder computes per-byte statistics and an FNV-1a header
-    hash over the blob — byte-level blob iteration and wrapping uint64
-    arithmetic are not expressible in DuckDB SQL. The plumbing is gated
-    by tests/test_training_ops.py::test_multimodal_fake_decode_and_frames.)"""
-    from finddup_spark.operators.multimodal import fake_decode_stats, media_from_pages
-    from finddup_spark.sources.tables import pages_from_documents
+def _q_winnow_planted(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Winnowing fingerprint index with a BY-CONSTRUCTION oracle (the
+    simhash_planted technique): exact copies of the doc_id%7==0 subset are
+    planted at +off; winnowing is a deterministic function of the text, so
+    each planted pair MUST have identical fingerprint counts, and the
+    SIGMOD'03 selection rule guarantees >=1 fingerprint iff the utf-8 text
+    has at least one 64-byte gram (hashing.winnow: n<=window selects the
+    global min) — both claims are SQL-expressible without computing any
+    wrapping-u64 hash. This hash-checks the full engine path (rolling gram
+    hashes → sliding-window min selection → per-doc aggregation); the
+    unrestricted winnow_fingerprints stays rows-only."""
+    from finddup_spark.operators.substring import fingerprints
 
-    pages = pages_from_documents(spark, sf_dir)
-    return fake_decode_stats(media_from_pages(pages))
+    off = _doc_offset(spark, sf_dir)
+    d = _docs(spark, sf_dir).filter(F.pmod("doc_id", 7) == 0).select("doc_id", "text")
+    planted = d.unionByName(
+        d.select((F.col("doc_id") + off).alias("doc_id"), "text")
+    )
+    counts = fingerprints(planted).groupBy("doc_id").agg(
+        F.count(F.lit(1)).alias("n")
+    )
+    base = (
+        planted.select("doc_id")
+        .join(counts, "doc_id", "left")
+        .na.fill({"n": 0})
+    )
+    a = base.filter(F.col("doc_id") < off).select("doc_id", F.col("n").alias("n_src"))
+    b = base.filter(F.col("doc_id") >= off).select(
+        (F.col("doc_id") - off).alias("doc_id"), F.col("n").alias("n_dst")
+    )
+    return a.join(b, "doc_id").select(
+        F.col("doc_id").cast("long").alias("doc_id"),
+        (F.col("doc_id") + off).cast("long").alias("copy_id"),
+        (F.col("n_src") == F.col("n_dst")).cast("string").alias("counts_equal"),
+        (F.col("n_src") > 0).cast("string").alias("has_fp"),
+    )
+
+
+def _q_media_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL multimodal decode, fully oracled: a deterministic PPM (Netpbm
+    P6) corpus is synthesized per doc_id (width = 4+id%5, height = 3+id%4,
+    pixel byte i = (id*7 + i*31) % 256), decoded by the engine's pure-numpy
+    P6 parser (header tokens + raw RGB — no codec library needed), and the
+    oracle recomputes width/height/mean from the closed form via
+    generate_series — the binary round-trips through a real decoder while
+    staying SQL-checkable. The codec-free blob plumbing (fake_decode_stats,
+    frame_sample) stays gated by
+    tests/test_training_ops.py::test_multimodal_fake_decode_and_frames."""
+    from finddup_spark.operators.multimodal import decode_media, synthesize_ppm_media
+
+    media = synthesize_ppm_media(_docs(spark, sf_dir).select("doc_id"))
+    return decode_media(media).select(
+        F.col("doc_id").cast("long").alias("doc_id"),
+        "kind",
+        F.col("width").cast("long").alias("width"),
+        F.col("height").cast("long").alias("height"),
+        F.col("n_pixels").cast("long").alias("n_pixels"),
+        "mean_pixel",
+    )
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
@@ -726,6 +804,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "human_sizes": _q_human_sizes,
         "incremental_merge": _q_incremental_merge,
         "embedding_dedup": _q_embedding_dedup,
+        "embedding_lsh_dedup": _q_embedding_lsh_dedup,
         "minhash_dedup": _q_minhash_dedup,
         "simhash_dedup": _q_simhash_dedup,
         "simhash_planted": _q_simhash_planted,
@@ -737,6 +816,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "site_rollup": _q_site_rollup,
         "site_rollup_deep": _q_site_rollup_deep,
         "winnow_fingerprints": _q_winnow_fingerprints,
+        "winnow_planted": _q_winnow_planted,
     }
 
 
@@ -1131,6 +1211,38 @@ def oracle_sql() -> dict[str, str]:
                    CAST(a = min(b) AS VARCHAR) AS keep
             FROM reach GROUP BY a
         """,
+        "embedding_lsh_dedup": """
+            WITH RECURSIVE pv AS (
+                SELECT vec_id, embedding FROM embeddings
+                UNION ALL
+                SELECT 2 * (SELECT max(vec_id) FROM embeddings) + 2 - vec_id,
+                       embedding
+                FROM embeddings
+                WHERE vec_id % 10 = 0
+                  AND vec_id <= (SELECT max(vec_id) FROM embeddings) - 100
+            ),
+            e AS (
+                SELECT CAST(a.vec_id AS BIGINT) AS src,
+                       CAST(b.vec_id AS BIGINT) AS dst
+                FROM pv a JOIN pv b ON a.vec_id < b.vec_id
+                WHERE list_cosine_similarity(
+                        CAST(a.embedding AS DOUBLE[]),
+                        CAST(b.embedding AS DOUBLE[])) >= 0.95
+            ),
+            sym AS (
+                SELECT src, dst FROM e
+                UNION SELECT dst, src FROM e
+            ),
+            reach(a, b) AS (
+                SELECT CAST(vec_id AS BIGINT), CAST(vec_id AS BIGINT)
+                FROM pv
+                UNION
+                SELECT r.a, s.dst FROM reach r JOIN sym s ON r.b = s.src
+            )
+            SELECT a AS vec_id, min(b) AS cluster_id,
+                   CAST(a = min(b) AS VARCHAR) AS keep
+            FROM reach GROUP BY a
+        """,
         "minhash_dedup": f"""
             WITH RECURSIVE {_JACCARD_EDGES_SQL}
             SELECT a AS doc_id, min(b) AS cluster_id,
@@ -1338,6 +1450,36 @@ def oracle_sql() -> dict[str, str]:
                    count(*) AS n_rows,
                    CAST(sum(n_bytes) AS BIGINT) AS n_bytes_total
             FROM d GROUP BY kind
+        """,
+        "media_stats": """
+            WITH dims AS (
+                SELECT doc_id,
+                       4 + doc_id % 5 AS w,
+                       3 + doc_id % 4 AS h
+                FROM documents
+            ),
+            px AS (
+                SELECT d.doc_id,
+                       sum((d.doc_id * 7 + u.i * 31) % 256) AS s,
+                       count(*) AS nb
+                FROM dims d,
+                     UNNEST(generate_series(0, d.w * d.h * 3 - 1)) AS u(i)
+                GROUP BY d.doc_id
+            )
+            SELECT CAST(d.doc_id AS BIGINT) AS doc_id,
+                   'ppm' AS kind,
+                   CAST(d.w AS BIGINT) AS width,
+                   CAST(d.h AS BIGINT) AS height,
+                   CAST(d.w * d.h AS BIGINT) AS n_pixels,
+                   round(p.s * 1.0 / p.nb, 6) AS mean_pixel
+            FROM dims d JOIN px p USING (doc_id)
+        """,
+        "winnow_planted": f"""
+            SELECT CAST(doc_id AS BIGINT) AS doc_id,
+                   CAST(doc_id + {_OFF_SQL} AS BIGINT) AS copy_id,
+                   'true' AS counts_equal,
+                   CAST(octet_length(encode(text)) >= 64 AS VARCHAR) AS has_fp
+            FROM documents WHERE doc_id % 7 = 0
         """,
         "incremental_merge": """
             WITH h AS (

@@ -186,6 +186,116 @@ def token_jaccard_pairs(
     )
 
 
+def embedding_lsh_dedup(
+    embeddings: DataFrame,
+    dim: int,
+    threshold: float = 0.95,
+    n_planes: int = 12,
+    n_tables: int = 4,
+    seed: int = 42,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    cfg: DedupConfig = DEFAULT_CONFIG,
+    oracle_guard: bool = False,
+) -> DataFrame:
+    """PRODUCTION embedding near-dup dedup: hyperplane-LSH blocked
+    candidate pairs → exact-cosine verify → connected components —
+    (vec_id, cluster_id, keep). The default path for unbounded corpora;
+    :func:`embedding_cosine_dedup` remains the id-gap-blocked demo.
+
+    The generalization of the text tier's J1 self-join (lsh.py:44-132,
+    reference ``finddup.py:199-236``) to vectors: sign-sketch buckets from
+    :func:`~finddup_spark.operators.simsearch.hyperplane_buckets` are fed
+    through the SAME salted star+clique pair generator the MinHash tier
+    uses (``candidate_pairs``), so hot buckets (a flood of identical or
+    near-zero vectors) emit O(n) star edges instead of O(n²) pairs, with
+    truncation stats logged — then candidates are verified with the exact
+    JVM-side cosine and resolved by CC. No N×N anywhere: the only joins
+    are equi joins on (table, bucket) and on vec_id.
+
+    Recall contract: an identical copy ALWAYS shares every bucket with its
+    original (equal projections ⇒ equal signs), so exact-duplicate vectors
+    are found with probability 1 regardless of id distance — unlike the
+    id-gap demo, which cannot see past ``block_gap`` ids. Near-(not
+    exact-)duplicate recall is the standard LSH bound, tunable via
+    ``n_tables``/``n_planes``.
+
+    ``oracle_guard=True`` asserts no hot bucket was star-truncated —
+    the precondition under which the exhaustive all-pairs SQL oracle
+    (every cosine≥threshold pair is an edge) is exact for a corpus whose
+    above-threshold pairs are identical-vector pairs.
+    """
+    caches: list = []
+    edges, stats = embedding_lsh_edges(
+        embeddings, dim, threshold, n_planes, n_tables, seed,
+        id_col, vec_col, cfg, cache_handles=caches,
+    )
+    if oracle_guard:
+        srow = stats.collect()[0]
+        if (srow["hot_buckets"] or 0) > 0:
+            raise RuntimeError(
+                "embedding_lsh_dedup oracle guard: "
+                f"{srow['hot_buckets']} hot bucket(s) star-truncated — the "
+                "exhaustive all-pairs SQL oracle is not sound for this corpus"
+            )
+    verts = embeddings.select(F.col(id_col).cast("long").alias("doc_id"))
+    cl = connected_components(edges.select("src", "dst"), vertices=verts)
+    for h in caches:
+        h.unpersist()
+    return cl.select(
+        F.col("doc_id").alias(id_col),
+        "cluster_id",
+        (F.col("doc_id") == F.col("cluster_id")).alias("keep"),
+    )
+
+
+def embedding_lsh_edges(
+    embeddings: DataFrame,
+    dim: int,
+    threshold: float = 0.95,
+    n_planes: int = 12,
+    n_tables: int = 4,
+    seed: int = 42,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    cfg: DedupConfig = DEFAULT_CONFIG,
+    cache_handles: list | None = None,
+) -> tuple[DataFrame, DataFrame]:
+    """(edges(src, dst, cos), stats) — the candidate + verify stages of
+    :func:`embedding_lsh_dedup`, exposed so plan tests and custom
+    pipelines can consume the verified edge stream directly."""
+    from .simsearch import cosine_expr, hyperplane_buckets, with_norm
+
+    bands = hyperplane_buckets(
+        embeddings, dim, n_planes, n_tables, seed, id_col, vec_col
+    ).select(
+        F.col("table_id").alias("band_id"),
+        F.col("bucket").alias("band_hash"),
+        F.col(id_col).cast("long").alias("doc_id"),
+    )
+    pairs, stats = candidate_pairs(bands, cfg, cache_handles=cache_handles)
+    e = with_norm(embeddings, id_col, vec_col)
+    edges = (
+        pairs.join(
+            e.select(
+                F.col(id_col).cast("long").alias("src"),
+                F.col("vec_d").alias("va"), F.col("norm").alias("na"),
+            ),
+            "src",
+        )
+        .join(
+            e.select(
+                F.col(id_col).cast("long").alias("dst"),
+                F.col("vec_d").alias("vb"), F.col("norm").alias("nb"),
+            ),
+            "dst",
+        )
+        .select("src", "dst", cosine_expr("va", "vb", "na", "nb").alias("cos"))
+        .filter(F.col("cos") >= threshold)
+    )
+    return edges, stats
+
+
 def embedding_cosine_dedup(
     embeddings: DataFrame,
     threshold: float = 0.95,
@@ -195,12 +305,15 @@ def embedding_cosine_dedup(
 ) -> DataFrame:
     """Embedding near-dup clusters: pairs with cosine >= threshold → CC.
 
-    Candidate generation here is id-gap blocked (bounded demo); at scale
-    swap in the LSH bucketing from simsearch.hyperplane_buckets — the
-    verify + CC stages are unchanged. The gap bound is an equi JOIN key
-    (bucket = floor(id/gap), dst exploded to bucket and bucket-1), not a
-    non-equi predicate: the previous ``src < dst`` join condition planned
-    as a BroadcastNestedLoopJoin — O(N²) compares before any filter.
+    Candidate generation here is id-gap blocked — a BOUNDED-WINDOW demo
+    of the verify + CC stages (it cannot find a near-dup more than
+    ``block_gap`` ids away). The production path is
+    :func:`embedding_lsh_dedup`, which swaps the id-gap blocking for
+    hyperplane-LSH buckets through the salted pair generator. The gap
+    bound is an equi JOIN key (bucket = floor(id/gap), dst exploded to
+    bucket and bucket-1), not a non-equi predicate: the previous
+    ``src < dst`` join condition planned as a BroadcastNestedLoopJoin —
+    O(N²) compares before any filter.
     """
     from .simsearch import with_norm, cosine_expr
 

@@ -1,12 +1,14 @@
-"""Multimodal binary-column plumbing (training-pipeline operator).
+"""Multimodal binary-column operators (training-pipeline family).
 
-Images / audio / video are opaque ``binary`` columns with typed metadata;
-the Spark-side plumbing — schema, partitioning, Arrow batch shape, UDF
-signatures — is real and tested; the codec step is STUBBED: the real
-decoders (PIL / libav) are not in this container, so ``decode_media``
-raises ``NotImplementedError`` unless the library is importable, and
-:func:`fake_decode_stats` provides a deterministic header-bytes parser the
-tests drive the plumbing with.
+Images / audio / video are opaque ``binary`` columns with typed metadata.
+``decode_media`` is a REAL decoder for the uncompressed Netpbm P6 (PPM)
+format — a pure-numpy header+pixel parse that needs no codec library, so
+the decode path is genuinely exercised in this container; compressed
+kinds (jpeg/png) dispatch to PIL when importable and degrade to
+NULL-stats lineage rows otherwise. :func:`fake_decode_stats` remains the
+codec-free plumbing driver (byte stats over arbitrary blobs), and
+:func:`synthesize_ppm_media` generates a deterministic PPM corpus whose
+stats a SQL oracle recomputes in closed form.
 
 Schema:
     media(doc_id long, kind string, payload binary, meta map<string,string>)
@@ -21,6 +23,7 @@ import pandas as pd
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql.types import (
+    BinaryType,
     DoubleType,
     LongType,
     StringType,
@@ -41,6 +44,18 @@ _STATS_SCHEMA = StructType(
 )
 
 
+_DECODE_SCHEMA = StructType(
+    [
+        StructField("doc_id", LongType()),
+        StructField("kind", StringType()),
+        StructField("width", LongType()),
+        StructField("height", LongType()),
+        StructField("n_pixels", LongType()),
+        StructField("mean_pixel", DoubleType()),
+    ]
+)
+
+
 def _try_import_pil():
     try:
         from PIL import Image  # noqa: F401
@@ -50,16 +65,116 @@ def _try_import_pil():
         return None
 
 
+def _parse_ppm(payload: bytes) -> tuple[int, int, int, np.ndarray]:
+    """Parse a binary PPM (P6) blob with pure numpy — no codec library.
+
+    Format (public Netpbm spec): ASCII magic ``P6``, then width, height
+    and maxval as whitespace-separated decimal tokens, then exactly ONE
+    whitespace byte, then width*height*3 raw RGB bytes. Comments are not
+    supported (the synthetic corpus never writes them)."""
+    if payload[:2] != b"P6":
+        raise ValueError(f"not a P6 PPM (magic {payload[:2]!r})")
+    idx, vals = 2, []
+    while len(vals) < 3:
+        while payload[idx : idx + 1].isspace():
+            idx += 1
+        start = idx
+        while idx < len(payload) and not payload[idx : idx + 1].isspace():
+            idx += 1
+        vals.append(int(payload[start:idx]))
+    idx += 1  # the single whitespace byte after maxval
+    w, h, maxval = vals
+    data = np.frombuffer(payload, dtype=np.uint8, count=w * h * 3, offset=idx)
+    return w, h, maxval, data
+
+
 def decode_media(media: DataFrame) -> DataFrame:
-    """REAL decode (image → pixels): requires PIL, which this container
-    does not ship. The plumbing (mapInPandas over binary, Arrow batches)
-    is identical to fake_decode_stats; only the codec differs."""
-    if _try_import_pil() is None:
-        raise NotImplementedError(
-            "media decoding requires PIL/libav — not available in this "
-            "container; use fake_decode_stats for plumbing tests"
-        )
-    raise NotImplementedError("wire PIL decode here when the codec ships")
+    """REAL media decode → per-image stats (doc_id, kind, width, height,
+    n_pixels, mean_pixel).
+
+    ``kind='ppm'`` rows are decoded with the pure-numpy Netpbm P6 parser
+    (:func:`_parse_ppm`) — an uncompressed public format that needs no
+    codec library, so the decode is real in this container. Other kinds
+    (jpeg/png/...) dispatch to PIL when importable and fail loudly per
+    row otherwise (a decode error surfaces as a NULL-stats row, the
+    lineage-row analog of the reference's unreadable-file handling,
+    ``finddup.py:144-149``). Plumbing: binary column → Arrow batch →
+    numpy → struct rows, identical for every codec."""
+    pil = _try_import_pil()
+
+    def fn(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = {k: [] for k in
+                    ("doc_id", "kind", "width", "height", "n_pixels", "mean_pixel")}
+            for did, kind, payload in zip(
+                pdf["doc_id"].values, pdf["kind"].values, pdf["payload"].values
+            ):
+                w = h = npx = None
+                mean = None
+                try:
+                    if kind == "ppm":
+                        w, h, _maxval, data = _parse_ppm(bytes(payload))
+                        npx = w * h
+                        mean = round(float(data.mean()) if len(data) else 0.0, 6)
+                    elif pil is not None:
+                        import io
+
+                        img = pil.open(io.BytesIO(bytes(payload)))
+                        arr = np.asarray(img, dtype=np.uint8)
+                        w, h = img.size
+                        npx = w * h
+                        mean = round(float(arr.mean()), 6)
+                    # else: no codec for this kind → NULL-stats row
+                except (ValueError, OSError):
+                    w = h = npx = mean = None  # unreadable → NULL-stats row
+                rows["doc_id"].append(did)
+                rows["kind"].append(kind)
+                rows["width"].append(w)
+                rows["height"].append(h)
+                rows["n_pixels"].append(npx)
+                rows["mean_pixel"].append(mean)
+            yield pd.DataFrame(rows)
+
+    return media.select("doc_id", "kind", "payload").mapInPandas(fn, _DECODE_SCHEMA)
+
+
+def synthesize_ppm_media(
+    ids: DataFrame, id_col: str = "doc_id"
+) -> DataFrame:
+    """Deterministic synthetic PPM corpus: per doc_id, a P6 blob with
+    width = 4 + id%5, height = 3 + id%4, maxval 255 and pixel byte
+    i = (id*7 + i*31) % 256 — a closed form a SQL oracle can recompute
+    without touching the binary. Output matches MEDIA_SCHEMA."""
+    out_schema = StructType(
+        [
+            StructField("doc_id", LongType()),
+            StructField("kind", StringType()),
+            StructField("payload", BinaryType()),
+        ]
+    )
+
+    def fn(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            ids_, payloads = [], []
+            for did in pdf[id_col].values:
+                did = int(did)
+                w, h = 4 + did % 5, 3 + did % 4
+                nb = w * h * 3
+                data = ((did * 7 + np.arange(nb, dtype=np.int64) * 31) % 256).astype(
+                    np.uint8
+                )
+                payloads.append(b"P6\n%d %d\n255\n" % (w, h) + data.tobytes())
+                ids_.append(did)
+            yield pd.DataFrame({"doc_id": pd.Series(ids_, dtype="int64"),
+                                "kind": "ppm",
+                                "payload": payloads})
+
+    return ids.select(F.col(id_col).cast("long").alias("doc_id")).mapInPandas(
+        fn, out_schema
+    ).select(
+        "doc_id", "kind", "payload",
+        F.create_map(F.lit("codec"), F.lit("ppm")).alias("meta"),
+    )
 
 
 def fake_decode_stats(media: DataFrame) -> DataFrame:

@@ -126,9 +126,42 @@ def test_multimodal_fake_decode_and_frames(spark, tiny_corpus):
     frames = frame_sample(media, n_frames=4, frame_bytes=32).toPandas()
     assert set(frames.frame_id) == {0, 1, 2, 3}
     assert frames.frame.map(len).le(32).all()
-    # real decoder is stubbed in this container
-    with pytest.raises(NotImplementedError):
-        decode_media(media)
+
+
+def test_ppm_decode_roundtrip(spark):
+    """Real codec path: synthesized P6 blobs decode back to the closed
+    form; a corrupt blob degrades to a NULL-stats lineage row (the
+    reference's unreadable-file handling), never an exception."""
+    from finddup_spark.operators.multimodal import (
+        _parse_ppm,
+        decode_media,
+        synthesize_ppm_media,
+    )
+
+    ids = spark.range(40).withColumnRenamed("id", "doc_id")
+    media = synthesize_ppm_media(ids)
+    out = decode_media(media).toPandas().set_index("doc_id")
+    for did in range(40):
+        w, h = 4 + did % 5, 3 + did % 4
+        row = out.loc[did]
+        assert (row.width, row.height, row.n_pixels) == (w, h, w * h)
+        nb = w * h * 3
+        expect = round(sum((did * 7 + i * 31) % 256 for i in range(nb)) / nb, 6)
+        assert abs(row.mean_pixel - expect) < 1e-9
+
+    # driver-side parser agrees byte-for-byte
+    payload = media.filter(F.col("doc_id") == 7).select("payload").first()[0]
+    w, h, maxval, data = _parse_ppm(bytes(payload))
+    assert (w, h, maxval) == (4 + 7 % 5, 3 + 7 % 4, 255)
+    assert len(data) == w * h * 3
+
+    bad = spark.createDataFrame(
+        [(999, "ppm", bytearray(b"NOTAPPM")), (998, "webm", bytearray(b"\x1a\x45"))],
+        "doc_id long, kind string, payload binary",
+    )
+    brows = decode_media(bad).toPandas().set_index("doc_id")
+    assert brows.loc[999].width is None or pd.isna(brows.loc[999].width)
+    assert pd.isna(brows.loc[998].mean_pixel)  # no codec for kind → NULL row
 
 
 def test_incremental_dedup_two_batches(spark, tmp_path):
@@ -196,6 +229,50 @@ def test_no_nested_loop_joins_in_blocked_candidates(spark, docs, sf0001):
     ):
         plan = _physical_plan(df)
         assert "BroadcastNestedLoopJoin" not in plan, plan
+
+
+def test_embedding_lsh_dedup_finds_far_copies(spark, sf0001):
+    """The PRODUCTION embedding dedup must find an identical copy at ANY
+    id distance — exactly what the id-gap demo cannot do. Copies are
+    planted at reversed ids (gap > 200), far outside the demo's 50-id
+    window; the LSH path must cluster every planted pair, and its
+    candidate plan must stay equi-join only."""
+    from finddup_spark.operators.dedup import embedding_lsh_dedup
+
+    emb = spark.read.parquet(os.path.join(sf0001, "embeddings.parquet")).select(
+        "vec_id", "embedding"
+    )
+    maxv = int(emb.agg(F.max("vec_id")).collect()[0][0])
+    dim = len(emb.select("embedding").first()[0])
+    copies = emb.filter(
+        (F.pmod("vec_id", 10) == 0) & (F.col("vec_id") <= maxv - 100)
+    ).select((F.lit(2 * maxv + 2) - F.col("vec_id")).alias("vec_id"), "embedding")
+    planted = emb.unionByName(copies)
+
+    out = embedding_lsh_dedup(planted, dim=dim, threshold=0.95).toPandas()
+    got = dict(zip(out.vec_id, out.cluster_id))
+    n_planted = 0
+    for v in range(0, maxv - 99, 10):
+        assert got[2 * maxv + 2 - v] == got[v] == v, v
+        n_planted += 1
+    assert n_planted > 0
+    # everything else is a singleton (no natural pair near the threshold)
+    planted_ids = {2 * maxv + 2 - v for v in range(0, maxv - 99, 10)}
+    for v, c in got.items():
+        if v not in planted_ids:
+            assert c == v
+
+    # the demo path, by contract, CANNOT see these pairs
+    demo = embedding_cosine_dedup(planted).toPandas()
+    dgot = dict(zip(demo.vec_id, demo.cluster_id))
+    assert all(dgot[2 * maxv + 2 - v] != v for v in range(0, maxv - 99, 10))
+
+    from finddup_spark.operators.dedup import embedding_lsh_edges
+
+    edges, _stats = embedding_lsh_edges(planted, dim=dim)
+    plan = _physical_plan(edges)
+    assert "BroadcastNestedLoopJoin" not in plan, plan
+    assert "CartesianProduct" not in plan, plan
 
 
 def test_simhash_skewed_corpus_bounded_pairs(spark):
