@@ -1285,10 +1285,17 @@ def oracle_sql() -> dict[str, str]:
             ),
             assigned AS (SELECT vec_id, cell FROM sc WHERE r = 1),
             probes AS (SELECT vec_id AS query_id, cell FROM sc WHERE r <= 4),
+            -- the engine's cell_cap (default 4096) on the neighbor side,
+            -- modeled rather than assumed away
+            acap AS (
+                SELECT vec_id, cell,
+                       row_number() OVER (PARTITION BY cell ORDER BY vec_id) AS rn
+                FROM assigned
+            ),
             cand AS (
                 SELECT DISTINCT p.query_id, a.vec_id AS neighbor_id
-                FROM probes p JOIN assigned a USING (cell)
-                WHERE p.query_id != a.vec_id
+                FROM probes p JOIN acap a USING (cell)
+                WHERE p.query_id != a.vec_id AND a.rn <= 4096
             ),
             scored AS (
                 SELECT c.query_id, c.neighbor_id,

@@ -68,10 +68,51 @@ def unproc_report(
         marked = pages
     cat = cat.when(F.col(text_col).isNull(), F.lit("unreadable"))
 
-    w = Window.partitionBy("category").orderBy(url_col)
-    return (
+    rows = (
         marked.select(F.col(url_col), cat.alias("category"))
         .filter(F.col("category").isNotNull())
-        .withColumn("seq", F.row_number().over(w))
-        .select("category", url_col, "seq")
+    )
+    return _global_seq(rows, part_col="category", order_col=url_col)
+
+
+def _global_seq(rows: DataFrame, part_col: str, order_col: str) -> DataFrame:
+    """(part_col, order_col, seq): 1-based global position of each row
+    within its ``part_col`` group ordered by ``order_col`` — WITHOUT the
+    single-reducer ``row_number() OVER (PARTITION BY part)`` window, which
+    funnels a whole category (corpus-sized for 'unreadable' at web scale)
+    through one task's sort.
+
+    Two-phase prefix-offset numbering (the distributed analog of
+    ``zipWithIndex``): range-partition on (part, order) — frozen with an
+    eager localCheckpoint so the sampled range boundaries cannot differ
+    between the two consuming jobs — then number WITHIN each (physical
+    partition, part) slice (bounded by partition size, parallel across
+    the cluster), collect the tiny per-(partition, part) count matrix
+    (O(shuffle_partitions × categories) rows), and broadcast the
+    cumulative offsets back. Range partitioning guarantees every row of a
+    part in partition p orders before every row of the same part in
+    partition p+1, so offset + local rank is the exact global rank.
+    """
+    spark = rows.sparkSession
+    n_parts = int(spark.conf.get("spark.sql.shuffle.partitions"))
+    parts = rows.repartitionByRange(n_parts, part_col, order_col).localCheckpoint(
+        eager=True
+    )
+    pid = parts.withColumn("__pid", F.spark_partition_id())
+    counts = pid.groupBy("__pid", part_col).agg(F.count(F.lit(1)).alias("n")).collect()
+    offs: list[tuple[int, str, int]] = []
+    running: dict[str, int] = {}
+    for r in sorted(counts, key=lambda r: (r[part_col], r["__pid"])):
+        offs.append((r["__pid"], r[part_col], running.get(r[part_col], 0)))
+        running[r[part_col]] = running.get(r[part_col], 0) + r["n"]
+    off_df = spark.createDataFrame(
+        offs, f"__pid int, {part_col} string, __off long"
+    )
+    w = Window.partitionBy("__pid", part_col).orderBy(order_col)
+    return (
+        pid.withColumn("__rn", F.row_number().over(w))
+        .join(F.broadcast(off_df), ["__pid", part_col])
+        .select(
+            part_col, order_col, (F.col("__rn") + F.col("__off")).alias("seq")
+        )
     )

@@ -124,7 +124,10 @@ def ivf_topk(
     n_probe: int = 4,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
-) -> DataFrame:
+    cell_cap: int = 4096,
+    centroids: DataFrame | None = None,
+    return_stats: bool = False,
+):
     """IVF-Flat approximate top-k: coarse-quantize vectors into cells,
     probe the ``n_probe`` nearest cells per query, exact-cosine re-rank.
     Same output shape as brute_force_topk.
@@ -140,8 +143,19 @@ def ivf_topk(
     broadcast cross-join + window argmax — O(N·n_cells) compares with no
     N×N anywhere; the candidate join is an equi join on cell id, and
     per-query work is bounded by the probed cells' population (cells are
-    ~N/n_cells for i.i.d. data; skewed cells would be handled like hot
-    LSH buckets — salt or cap with logged truncation).
+    ~N/n_cells for i.i.d. data). A SKEWED cell (pathological centroid
+    attracting O(N) members) is handled like a hot LSH bucket:
+    ``cell_cap`` bounds the NEIGHBOR side of each cell to its first
+    ``cell_cap`` members by id (the lsh_topk ``bucket_cap`` machinery),
+    so per-query candidate work is O(n_probe·cell_cap) even under a
+    degenerate quantizer. No silent caps: ``return_stats=True`` also
+    returns a one-row (n_cells_used, capped_cells, max_cell) DataFrame
+    for the lineage sink.
+
+    ``centroids``: optional (cell, vcent: array<double>, ncent) DataFrame
+    from :func:`train_ivf_centroids` — a trained quantizer plugged into
+    the same plumbing; None keeps the trainless lowest-id quantizer
+    (deterministic, SQL-oracle-able).
 
     Assignment and probe scores are rounded to 6 decimals with ties
     broken by centroid id, so an independent SQL oracle reproduces cell
@@ -149,7 +163,7 @@ def ivf_topk(
     engines; unrounded argmax could flip near-ties).
     """
     e = with_norm(emb, id_col, vec_col)
-    cents = (
+    cents = centroids if centroids is not None else (
         e.orderBy(id_col)
         .limit(n_cells)
         .select(
@@ -176,13 +190,26 @@ def ivf_topk(
         .filter(F.col("__r") <= n_probe)
         .select(F.col(id_col).alias("query_id"), "cell")
     )
+    wc = Window.partitionBy("cell").orderBy(id_col)
+    capped = (
+        assigned.withColumn("__rn", F.row_number().over(wc))
+        .filter(F.col("__rn") <= cell_cap)
+        .select(F.col(id_col).alias("neighbor_id"), "cell")
+    )
     cand = (
-        probes.join(
-            assigned.select(F.col(id_col).alias("neighbor_id"), "cell"), "cell"
-        )
+        probes.join(capped, "cell")
         .filter(F.col("query_id") != F.col("neighbor_id"))
         .select("query_id", "neighbor_id")
         .distinct()
+    )
+    stats = (
+        assigned.groupBy("cell")
+        .agg(F.count(F.lit(1)).alias("sz"))
+        .agg(
+            F.count(F.lit(1)).alias("n_cells_used"),
+            F.sum(F.when(F.col("sz") > cell_cap, 1).otherwise(0)).alias("capped_cells"),
+            F.max("sz").alias("max_cell"),
+        )
     )
     scored = (
         cand.join(
@@ -200,7 +227,76 @@ def ivf_topk(
         )
     )
     w = Window.partitionBy("query_id").orderBy(F.desc("cos"), F.asc("neighbor_id"))
-    return scored.withColumn("rank", F.row_number().over(w)).filter(F.col("rank") <= k)
+    topk = scored.withColumn("rank", F.row_number().over(w)).filter(F.col("rank") <= k)
+    return (topk, stats) if return_stats else topk
+
+
+def train_ivf_centroids(
+    emb: DataFrame,
+    n_cells: int = 16,
+    n_iters: int = 3,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Distributed spherical-k-means coarse quantizer for IVF:
+    (cell, vcent: array<double>, ncent) — plug into
+    :func:`ivf_topk(centroids=...)`.
+
+    Lloyd iterations entirely in DataFrame ops, sized for 100 TB: init =
+    the trainless lowest-id centroids; each iteration (1) assigns every
+    vector to its max-cosine centroid via a broadcast cross-join + window
+    argmax (O(N·n_cells), no N×N), (2) recomputes each centroid as the
+    per-dimension mean of its members via posexplode → groupBy(cell, pos)
+    — a partial-aggregating shuffle of N·dim scalars, the unavoidable
+    cost of k-means — and localCheckpoints the tiny (n_cells × dim)
+    centroid table to truncate lineage. Cosine argmax is scale-invariant,
+    so centroids are NOT normalized; their norm rides along for the
+    downstream cosine. Cells that lose all members drop out (k shrinks)
+    rather than being respawned — acceptable for a coarse quantizer.
+    """
+    e = with_norm(emb, id_col, vec_col).persist()
+    cents = (
+        e.orderBy(id_col)
+        .limit(n_cells)
+        .select(
+            F.col(id_col).alias("cell"),
+            F.col("vec_d").alias("vcent"),
+            F.col("norm").alias("ncent"),
+        )
+    )
+    for _ in range(n_iters):
+        scored = e.crossJoin(F.broadcast(cents)).select(
+            id_col, "vec_d", "cell",
+            F.round(cosine_expr("vec_d", "vcent", "norm", "ncent"), 6).alias("cs"),
+        )
+        wa = Window.partitionBy(id_col).orderBy(F.desc("cs"), F.asc("cell"))
+        assigned = (
+            scored.withColumn("__r", F.row_number().over(wa))
+            .filter(F.col("__r") == 1)
+            .select("cell", "vec_d")
+        )
+        dims = assigned.select(
+            "cell", F.posexplode("vec_d").alias("pos", "x")
+        ).groupBy("cell", "pos").agg(F.avg("x").alias("m"))
+        cents = (
+            dims.groupBy("cell")
+            .agg(
+                F.transform(
+                    F.array_sort(F.collect_list(F.struct("pos", "m"))),
+                    lambda s: s["m"],
+                ).alias("vcent")
+            )
+            .select(
+                "cell",
+                "vcent",
+                F.sqrt(
+                    F.aggregate(F.col("vcent"), F.lit(0.0), lambda a, x: a + x * x)
+                ).alias("ncent"),
+            )
+            .localCheckpoint(eager=True)
+        )
+    e.unpersist()
+    return cents
 
 
 def lsh_topk(

@@ -303,6 +303,74 @@ def test_simhash_skewed_corpus_bounded_pairs(spark):
     assert hot == 1
 
 
+def test_ivf_skewed_cell_capped(spark):
+    """A pathological quantizer (one centroid attracting almost every
+    vector) must not degrade the probe join to O(N·N): the dominant cell's
+    neighbor side is capped at cell_cap with the truncation reported in
+    stats — the lsh_topk bucket_cap policy applied to IVF cells."""
+    from finddup_spark.operators.simsearch import ivf_topk
+
+    rng = np.random.default_rng(3)
+    base = rng.standard_normal(16)
+    rows = []
+    for i in range(2000):
+        if i < 1900:  # 95% of vectors share one direction → one hot cell
+            v = base + rng.standard_normal(16) * 0.01
+        else:
+            v = rng.standard_normal(16)
+        rows.append((i, [float(x) for x in v]))
+    emb = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    topk, stats = ivf_topk(
+        emb, k=3, n_cells=8, n_probe=2, cell_cap=64, return_stats=True
+    )
+    srow = stats.collect()[0]
+    assert srow["capped_cells"] >= 1
+    assert srow["max_cell"] > 64
+    out = topk.toPandas()
+    assert len(out) > 0
+    assert (out.groupby("query_id")["rank"].max() <= 3).all()
+
+
+def test_trained_ivf_beats_trainless_on_ordered_corpus(spark):
+    """Lloyd-trained centroids plugged into the same ivf_topk plumbing:
+    on an ORDERED corpus (the first n_cells ids all come from only two of
+    eight true clusters, so the trainless lowest-id quantizer is
+    unrepresentative) training must improve recall vs brute force at
+    equal n_probe."""
+    from finddup_spark.operators.simsearch import (
+        brute_force_topk,
+        ivf_topk,
+        train_ivf_centroids,
+    )
+
+    rng = np.random.default_rng(7)
+    centers = rng.standard_normal((8, 16)) * 5.0
+    rows = []
+    for i in range(400):
+        c = centers[i % 2] if i < 16 else centers[i % 8]
+        v = c + rng.standard_normal(16) * 0.3
+        rows.append((i, [float(x) for x in v]))
+    emb = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+
+    def recall(topk_df, truth):
+        got = topk_df.toPandas().groupby("query_id")["neighbor_id"].apply(set)
+        hits = total = 0
+        for q, t in truth.items():
+            hits += len(got.get(q, set()) & t)
+            total += len(t)
+        return hits / total
+
+    truth_df = brute_force_topk(emb, k=3).toPandas()
+    truth = truth_df.groupby("query_id")["neighbor_id"].apply(set).to_dict()
+
+    r_trainless = recall(ivf_topk(emb, k=3, n_cells=16, n_probe=2), truth)
+    cents = train_ivf_centroids(emb, n_cells=16, n_iters=3)
+    r_trained = recall(
+        ivf_topk(emb, k=3, n_cells=16, n_probe=2, centroids=cents), truth
+    )
+    assert r_trained > r_trainless, (r_trained, r_trainless)
+
+
 def test_incremental_state_crash_safety(spark, tmp_path):
     """A crash between the delta write and the manifest commit must leave
     the committed state untouched (readable, old version) — the round-1
