@@ -28,7 +28,13 @@ STATE_SCHEMA = "content_sha string, cluster_id long"
 COMPACT_THRESHOLD = 32
 
 
+_MANIFEST_PREFIX = "exact_state_MANIFEST.v"
+_COMMIT_TRAILER = "#COMMIT"
+
+
 def _manifest_path(out_dir: str) -> str:
+    """Legacy single-file manifest (pre-versioning layout) — still READ as
+    a fallback so old state dirs keep working; never written anymore."""
     return os.path.join(out_dir, "exact_state_MANIFEST")
 
 
@@ -36,24 +42,68 @@ def _delta_root(out_dir: str) -> str:
     return os.path.join(out_dir, "exact_state_deltas")
 
 
-def _committed_deltas(out_dir: str) -> list[str]:
-    mp = _manifest_path(out_dir)
-    if not os.path.exists(mp):
+def _manifest_versions(out_dir: str) -> list[tuple[int, str]]:
+    """(version, filename) descending — newest first."""
+    try:
+        names = os.listdir(out_dir)
+    except FileNotFoundError:
         return []
-    with open(mp) as f:
-        return [line.strip() for line in f if line.strip()]
+    out = []
+    for n in names:
+        if n.startswith(_MANIFEST_PREFIX):
+            try:
+                out.append((int(n[len(_MANIFEST_PREFIX):]), n))
+            except ValueError:
+                continue
+    return sorted(out, reverse=True)
+
+
+def _committed_deltas(out_dir: str) -> list[str]:
+    """Highest-COMMITTED-version read: walk manifest versions newest
+    first and return the first whose body carries the commit trailer — an
+    in-flight or crash-truncated manifest (no trailer) is skipped, never
+    half-read. This is the object-store-safe half of the protocol: it
+    needs no atomic rename, only per-object read-your-writes."""
+    for _v, name in _manifest_versions(out_dir):
+        with open(os.path.join(out_dir, name)) as f:
+            lines = f.read().splitlines()
+        if lines and lines[-1] == _COMMIT_TRAILER:
+            return [ln.strip() for ln in lines[:-1] if ln.strip()]
+    mp = _manifest_path(out_dir)  # legacy fallback
+    if os.path.exists(mp):
+        with open(mp) as f:
+            return [line.strip() for line in f if line.strip()]
+    return []
 
 
 def _commit_manifest(out_dir: str, deltas: list[str]) -> None:
-    """Atomic commit: the manifest names the committed delta dirs and is
-    replaced via ``os.replace`` (atomic POSIX rename — readers see either
-    the old or the new state, never a partial one). The Iceberg-manifest
-    analog; on real Iceberg the whole layer is ``MERGE INTO``."""
-    mp = _manifest_path(out_dir)
-    tmp = mp + ".tmp"
-    with open(tmp, "w") as f:
-        f.write("\n".join(deltas) + "\n")
-    os.replace(tmp, mp)
+    """Conditional-put-style commit — the object-store-safe protocol the
+    round-2 ``os.replace`` rename could not give (S3 has no atomic
+    rename): the new manifest is written ONCE at its final versioned name
+    ``exact_state_MANIFEST.v{N}`` opened with O_CREAT|O_EXCL (the POSIX
+    analog of S3 If-None-Match / GCS if-generation-match-0 — creation
+    fails if the name exists, so two racing writers can never both claim
+    version N; the loser re-reads and takes N+1), body terminated by a
+    commit trailer and fsynced. A crash mid-write leaves a trailer-less
+    file at version N that readers permanently skip (and future commits
+    version past) — partial state is never exposed. Old versions are tiny
+    text files; GC may delete everything below the highest committed
+    version. The Iceberg-metadata analog; on real Iceberg the whole layer
+    is ``MERGE INTO`` + snapshot commit."""
+    body = "\n".join(deltas) + "\n" + _COMMIT_TRAILER + "\n"
+    while True:
+        vs = _manifest_versions(out_dir)
+        next_v = (vs[0][0] + 1) if vs else 1
+        path = os.path.join(out_dir, f"{_MANIFEST_PREFIX}{next_v:012d}")
+        try:
+            fd = os.open(path, os.O_CREAT | os.O_EXCL | os.O_WRONLY)
+        except FileExistsError:
+            continue  # lost the version race — retry at the next version
+        with os.fdopen(fd, "w") as f:
+            f.write(body)
+            f.flush()
+            os.fsync(f.fileno())
+        return
 
 
 def read_state(spark: SparkSession, out_dir: str) -> DataFrame:

@@ -400,6 +400,25 @@ def test_incremental_state_crash_safety(spark, tmp_path):
     # bounded write: batch 2 appended ONE delta, no state rewrite
     assert len(inc._committed_deltas(out)) == 2
 
+    # object-store crash mode: a manifest write that dies MID-PUT leaves a
+    # trailer-less file at the next version — readers must skip it and
+    # keep serving the last committed version (no atomic rename assumed)
+    committed2 = inc._committed_deltas(out)
+    top_v = inc._manifest_versions(out)[0][0]
+    partial = os.path.join(out, f"{inc._MANIFEST_PREFIX}{top_v + 1:012d}")
+    with open(partial, "w") as f:
+        f.write("delta_partial_garbage\n")  # no #COMMIT trailer
+    assert inc._committed_deltas(out) == committed2
+    st2 = inc.read_state(spark, out).toPandas()
+    assert len(st2) == 3  # aaa, bbb, ccc — the partial manifest is invisible
+
+    # and the next commit versions PAST the dead partial file
+    b3 = spark.createDataFrame([(6, "ddd")], "doc_id long, text string")
+    r3 = inc.merge_batch(spark, b3, out).toPandas()
+    assert dict(zip(r3.doc_id, r3.cluster_id)) == {6: 6}
+    assert inc._manifest_versions(out)[0][0] > top_v + 1
+    assert "delta_partial_garbage" not in inc._committed_deltas(out)
+
 
 def test_ivf_topk_recall_vs_brute_force(spark, sf0001):
     """IVF-Flat: recall grows with probes and reaches EXACTLY the
