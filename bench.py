@@ -197,6 +197,14 @@ def q_lsh_topk(spark, sf_dir: str) -> int:
     return lsh_topk(emb, dim=dim, k=3).count()
 
 
+def q_embedding_lsh_dedup(spark, sf_dir: str) -> int:
+    from finddup_spark.operators.dedup import embedding_lsh_dedup
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    dim = len(emb.select("embedding").first()[0])
+    return embedding_lsh_dedup(emb, dim=dim, threshold=0.95).count()
+
+
 def run_bench(sf_dir: str, cores: int, only: str | None = None,
               pages_path: str | None = None, warmup: bool = True,
               shuffle_partitions: int | None = None) -> dict:
@@ -262,6 +270,7 @@ def run_bench(sf_dir: str, cores: int, only: str | None = None,
         "text_stats": lambda: q_text_stats(spark, sf_dir),
         "ann_topk": lambda: q_ann(spark, sf_dir),
         "lsh_topk": lambda: q_lsh_topk(spark, sf_dir),
+        "embedding_lsh_dedup": lambda: q_embedding_lsh_dedup(spark, sf_dir),
     }
     if only:
         queries = {k: v for k, v in queries.items() if k in only.split(",")}
