@@ -54,7 +54,41 @@ def build_pages(spark, sf_dir: str):
     return pages.withColumn("text", extract_udf("html")).drop("html")
 
 
-def q_pipeline(spark, sf_dir: str, out_dir: str, pages_path: str | None = None) -> int:
+def dup_pair_recall(clusters_pdf, truth_path: str,
+                    threshold: float = 0.8,
+                    include_substring: bool = True) -> float:
+    """North-rule metric: dup-pair recall of the produced clusters vs the
+    corpus truth sidecar. Required pairs = same truth cluster_key (> 0)
+    where both members carry realized jaccard >= threshold (exact/mirror
+    are 1.0; near members below the verify threshold are not required),
+    plus substring-tier pairs when that tier ran (their whole-doc jaccard
+    is sub-threshold by construction). Group-wise counting — sum of
+    C(n,2) per (truth group × produced cluster) — so no O(n²) pair
+    materialization even for large truth groups."""
+    import pandas as pd
+
+    t = pd.read_parquet(truth_path)
+    req = t[
+        (t.cluster_key > 0)
+        & (
+            (t.kind.isin(["exact", "near", "mirror"]) & (t.jaccard >= threshold))
+            | (include_substring & (t.kind == "substring"))
+        )
+    ][["doc_id", "cluster_key"]]
+    got = clusters_pdf.rename(columns={"cluster_id": "pc"})[["doc_id", "pc"]]
+    m = req.merge(got, on="doc_id", how="left")
+    m["pc"] = m["pc"].fillna(-m["doc_id"] - 1)  # dropped rows → singletons
+
+    def pairs(sizes) -> int:
+        return int((sizes * (sizes - 1) // 2).sum())
+
+    total = pairs(m.groupby("cluster_key").size())
+    captured = pairs(m.groupby(["cluster_key", "pc"]).size())
+    return round(captured / total, 6) if total else 1.0
+
+
+def q_pipeline(spark, sf_dir: str, out_dir: str, pages_path: str | None = None,
+               recall_box: dict | None = None) -> int:
     from finddup_spark.plans.pipeline import DedupPipeline
 
     if pages_path:
@@ -64,12 +98,22 @@ def q_pipeline(spark, sf_dir: str, out_dir: str, pages_path: str | None = None) 
     else:
         pages = build_pages(spark, sf_dir)
     run = DedupPipeline(spark, out_dir, resume=False).run(pages)
+    extra = {}
+    if recall_box is not None and pages_path:
+        truth_path = os.path.join(os.path.dirname(pages_path),
+                                  "truth_clusters.parquet")
+        if os.path.exists(truth_path):
+            cl = run.table(spark, "clusters").toPandas()
+            recall_box["dup_pair_recall"] = extra["dup_pair_recall"] = (
+                dup_pair_recall(cl, truth_path)
+            )
     # per-stage walls to stderr: the scaling/diagnosis data without
     # touching the stdout JSON contract
     print(
         json.dumps({
             "stage_walls_ms": {s.name: s.wall_ms for s in run.stages},
             "finalize_ms": run.finalize_ms,
+            **extra,
         }),
         file=sys.stderr,
     )
@@ -262,8 +306,9 @@ def run_bench(sf_dir: str, cores: int, only: str | None = None,
             pages_path = os.path.join(cdir, "pages.parquet")
     n_pages = spark.read.parquet(pages_path).count()
 
+    recall_box: dict = {}
     queries = {
-        "pipeline": lambda: q_pipeline(spark, sf_dir, os.path.join(out_root, "pipe"), pages_path),
+        "pipeline": lambda: q_pipeline(spark, sf_dir, os.path.join(out_root, "pipe"), pages_path, recall_box),
         "exact": lambda: q_exact(spark, sf_dir),
         "minhash_dedup": lambda: q_minhash_dedup(spark, sf_dir),
         "simhash_dedup": lambda: q_simhash_dedup(spark, sf_dir),
@@ -295,6 +340,8 @@ def run_bench(sf_dir: str, cores: int, only: str | None = None,
     }
     if "pipeline" in timings:
         result["pages_per_sec"] = round(n_pages / timings["pipeline"], 2)
+    if "dup_pair_recall" in recall_box:
+        result["dup_pair_recall"] = recall_box["dup_pair_recall"]
     return result
 
 
