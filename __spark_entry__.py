@@ -340,8 +340,9 @@ def _q_embedding_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     components are reproduced in SQL with a recursive-CTE transitive
     closure (tractable at sf scale; the engine's CC is the scale path).
 
-    Non-vacuous: the sf embeddings have NO natural pair within 0.48 of
-    the 0.95 threshold (threshold-boundary float risk is therefore moot),
+    Non-vacuous: the sf embeddings have NO natural pair anywhere near the
+    0.95 threshold (measured max natural cosine: 0.479 at sf0.001, 0.513
+    at sf0.01, 0.601 at sf0.1 — threshold-boundary float risk is moot),
     so identical copies of the top-50 vec_ids are planted at +50 — gap
     exactly 50 (inside the candidate block window), ids derived from
     max(vec_id) so they never collide with real ones at any corpus size,
@@ -375,9 +376,11 @@ def _q_embedding_lsh_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     all-pairs cosine≥0.95 edge set + recursive-CTE CC. Soundness: an
     identical copy shares every LSH bucket with its original (equal
     projections ⇒ equal signs), so the engine finds every planted pair
-    with probability 1; the sf corpus has no natural pair within 0.48 of
-    the threshold, and the oracle_guard asserts no hot-bucket truncation
-    — under those preconditions the LSH edge set IS the exhaustive one."""
+    with probability 1; the sf corpora have no natural pair near the
+    threshold (measured max natural cosine 0.479/0.513/0.601 at
+    sf0.001/0.01/0.1 vs threshold 0.95), and the oracle_guard asserts no
+    hot-bucket truncation — under those preconditions the LSH edge set
+    IS the exhaustive one."""
     from finddup_spark.operators.dedup import embedding_lsh_dedup
 
     emb = _emb(spark, sf_dir).select("vec_id", "embedding")

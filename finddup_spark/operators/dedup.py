@@ -197,7 +197,8 @@ def embedding_lsh_dedup(
     vec_col: str = "embedding",
     cfg: DedupConfig = DEFAULT_CONFIG,
     oracle_guard: bool = False,
-) -> DataFrame:
+    return_stats: bool = False,
+):
     """PRODUCTION embedding near-dup dedup: hyperplane-LSH blocked
     candidate pairs → exact-cosine verify → connected components —
     (vec_id, cluster_id, keep). The default path for unbounded corpora;
@@ -213,17 +214,21 @@ def embedding_lsh_dedup(
     JVM-side cosine and resolved by CC. No N×N anywhere: the only joins
     are equi joins on (table, bucket) and on vec_id.
 
-    Recall contract: an identical copy ALWAYS shares every bucket with its
-    original (equal projections ⇒ equal signs), so exact-duplicate vectors
-    are found with probability 1 regardless of id distance — unlike the
-    id-gap demo, which cannot see past ``block_gap`` ids. Near-(not
-    exact-)duplicate recall is the standard LSH bound, tunable via
-    ``n_tables``/``n_planes``.
+    Recall contract: bitwise-identical vectors are COLLAPSED to one
+    representative before any bucketing (see
+    :func:`embedding_lsh_edges` stage 0), so exact-duplicate vectors are
+    found with probability 1 regardless of id distance AND regardless of
+    hot-bucket salting — unlike the id-gap demo, which cannot see past
+    ``block_gap`` ids. Near-(not exact-)duplicate recall is the standard
+    LSH bound, tunable via ``n_tables``/``n_planes``.
 
     ``oracle_guard=True`` asserts no hot bucket was star-truncated —
     the precondition under which the exhaustive all-pairs SQL oracle
     (every cosine≥threshold pair is an edge) is exact for a corpus whose
     above-threshold pairs are identical-vector pairs.
+
+    ``return_stats=True`` also returns the one-row hot-bucket truncation
+    stats DataFrame (production callers log it — no silent caps).
     """
     caches: list = []
     edges, stats = embedding_lsh_edges(
@@ -240,13 +245,18 @@ def embedding_lsh_dedup(
             )
     verts = embeddings.select(F.col(id_col).cast("long").alias("doc_id"))
     cl = connected_components(edges.select("src", "dst"), vertices=verts)
+    if return_stats:
+        # materialize while the bucket cache is still alive — consumed
+        # after the unpersist below it would recompute the whole index
+        stats = embeddings.sparkSession.createDataFrame(stats.collect())
     for h in caches:
         h.unpersist()
-    return cl.select(
+    out = cl.select(
         F.col("doc_id").alias(id_col),
         "cluster_id",
         (F.col("doc_id") == F.col("cluster_id")).alias("keep"),
     )
+    return (out, stats) if return_stats else out
 
 
 def embedding_lsh_edges(
@@ -263,19 +273,46 @@ def embedding_lsh_edges(
 ) -> tuple[DataFrame, DataFrame]:
     """(edges(src, dst, cos), stats) — the candidate + verify stages of
     :func:`embedding_lsh_dedup`, exposed so plan tests and custom
-    pipelines can consume the verified edge stream directly."""
+    pipelines can consume the verified edge stream directly.
+
+    Stage 0 COLLAPSES bitwise-identical vectors to one representative
+    (min id per distinct vector) and emits a cos=1.0 star per group —
+    the same fingerprint-collapse the simhash tier uses. This is what
+    makes the probability-1 exact-duplicate guarantee true even in salted
+    hot buckets: without it, an identical pair inside a >hot_bucket_cap
+    mixed bucket could land in different salt shards in every table and
+    reach each other only through dissimilar shard reps that fail the
+    cosine verify. After the collapse, candidate generation runs over
+    DISTINCT vectors only (also shrinking hot buckets by the exact-dup
+    ratio), and a member-to-member near-pair across groups is found iff
+    its rep-to-rep pair is — the cosines are identical."""
     from .simsearch import cosine_expr, hyperplane_buckets, with_norm
 
+    ids = embeddings.select(
+        F.col(id_col).cast("long").alias(id_col), F.col(vec_col).alias(vec_col)
+    )
+    reps = ids.groupBy(vec_col).agg(F.min(id_col).alias("rep"))
+    star0 = (
+        ids.join(reps, vec_col)
+        .filter(F.col(id_col) != F.col("rep"))
+        .select(
+            F.col("rep").alias("src"),
+            F.col(id_col).alias("dst"),
+            F.lit(1.0).alias("cos"),
+        )
+    )
+    distinct_vecs = reps.select(F.col("rep").alias(id_col), vec_col)
+
     bands = hyperplane_buckets(
-        embeddings, dim, n_planes, n_tables, seed, id_col, vec_col
+        distinct_vecs, dim, n_planes, n_tables, seed, id_col, vec_col
     ).select(
         F.col("table_id").alias("band_id"),
         F.col("bucket").alias("band_hash"),
         F.col(id_col).cast("long").alias("doc_id"),
     )
     pairs, stats = candidate_pairs(bands, cfg, cache_handles=cache_handles)
-    e = with_norm(embeddings, id_col, vec_col)
-    edges = (
+    e = with_norm(distinct_vecs, id_col, vec_col)
+    rep_edges = (
         pairs.join(
             e.select(
                 F.col(id_col).cast("long").alias("src"),
@@ -293,7 +330,7 @@ def embedding_lsh_edges(
         .select("src", "dst", cosine_expr("va", "vb", "na", "nb").alias("cos"))
         .filter(F.col("cos") >= threshold)
     )
-    return edges, stats
+    return star0.unionByName(rep_edges), stats
 
 
 def embedding_cosine_dedup(

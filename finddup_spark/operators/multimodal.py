@@ -84,6 +84,13 @@ def _parse_ppm(payload: bytes) -> tuple[int, int, int, np.ndarray]:
         vals.append(int(payload[start:idx]))
     idx += 1  # the single whitespace byte after maxval
     w, h, maxval = vals
+    if w <= 0 or h <= 0:
+        raise ValueError(f"invalid PPM dimensions {w}x{h}")
+    if maxval != 255:
+        # maxval > 255 means 2-byte samples (valid P6, different layout);
+        # decoding them as single bytes would yield plausible-but-wrong
+        # stats — route to the unreadable path instead
+        raise ValueError(f"unsupported PPM maxval {maxval} (only 255)")
     data = np.frombuffer(payload, dtype=np.uint8, count=w * h * 3, offset=idx)
     return w, h, maxval, data
 

@@ -105,8 +105,9 @@ def _global_seq(rows: DataFrame, part_col: str, order_col: str) -> DataFrame:
     for r in sorted(counts, key=lambda r: (r[part_col], r["__pid"])):
         offs.append((r["__pid"], r[part_col], running.get(r[part_col], 0)))
         running[r[part_col]] = running.get(r[part_col], 0) + r["n"]
+    part_type = rows.schema[part_col].dataType.simpleString()
     off_df = spark.createDataFrame(
-        offs, f"__pid int, {part_col} string, __off long"
+        offs, f"__pid int, {part_col} {part_type}, __off long"
     )
     w = Window.partitionBy("__pid", part_col).orderBy(order_col)
     return (

@@ -76,7 +76,9 @@ def _committed_deltas(out_dir: str) -> list[str]:
     return []
 
 
-def _commit_manifest(out_dir: str, deltas: list[str]) -> None:
+def _commit_manifest(
+    out_dir: str, deltas: list[str], base: list[str] | None = None
+) -> None:
     """Conditional-put-style commit — the object-store-safe protocol the
     round-2 ``os.replace`` rename could not give (S3 has no atomic
     rename): the new manifest is written ONCE at its final versioned name
@@ -89,16 +91,29 @@ def _commit_manifest(out_dir: str, deltas: list[str]) -> None:
     version past) — partial state is never exposed. Old versions are tiny
     text files; GC may delete everything below the highest committed
     version. The Iceberg-metadata analog; on real Iceberg the whole layer
-    is ``MERGE INTO`` + snapshot commit."""
-    body = "\n".join(deltas) + "\n" + _COMMIT_TRAILER + "\n"
+    is ``MERGE INTO`` + snapshot commit.
+
+    Race semantics: a loser does NOT just bump the version number — it
+    re-reads the current committed list and commits ``deltas`` plus any
+    CONCURRENT additions (committed now, absent from the ``base`` list
+    this writer built on), so a concurrently-committed delta is never
+    silently dropped (lost update). ``base`` also makes compaction
+    race-safe: the compacted dir replaces exactly the ``base`` entries it
+    absorbed, while a racer's unabsorbed delta survives the union (it is
+    in ``committed`` but not in ``base``)."""
+    base = base or []
     while True:
+        committed = _committed_deltas(out_dir)
+        concurrent = [d for d in committed if d not in base and d not in deltas]
+        merged = deltas + concurrent
+        body = "\n".join(merged) + "\n" + _COMMIT_TRAILER + "\n"
         vs = _manifest_versions(out_dir)
         next_v = (vs[0][0] + 1) if vs else 1
         path = os.path.join(out_dir, f"{_MANIFEST_PREFIX}{next_v:012d}")
         try:
             fd = os.open(path, os.O_CREAT | os.O_EXCL | os.O_WRONLY)
         except FileExistsError:
-            continue  # lost the version race — retry at the next version
+            continue  # lost the version race — re-read, merge, retry
         with os.fdopen(fd, "w") as f:
             f.write(body)
             f.flush()
@@ -154,15 +169,20 @@ def merge_batch(
     )
     delta_name = f"delta_{uuid.uuid4().hex}"
     fresh.write.mode("overwrite").parquet(os.path.join(_delta_root(out_dir), delta_name))
-    deltas = _committed_deltas(out_dir) + [delta_name]
-    if len(deltas) > COMPACT_THRESHOLD:
+    base = _committed_deltas(out_dir)
+    live = base + [delta_name]
+    if len(live) > COMPACT_THRESHOLD:
         root = _delta_root(out_dir)
         compacted = f"compact_{uuid.uuid4().hex}"
-        spark.read.parquet(*[os.path.join(root, d) for d in deltas]).coalesce(
+        spark.read.parquet(*[os.path.join(root, d) for d in live]).coalesce(
             max(1, spark.sparkContext.defaultParallelism // 4)
         ).write.mode("overwrite").parquet(os.path.join(root, compacted))
-        deltas = [compacted]
-    _commit_manifest(out_dir, deltas)
+        # the compacted dir replaces exactly the `live` entries it
+        # absorbed — pass them as base so a concurrent racer's delta
+        # survives the commit-time union
+        _commit_manifest(out_dir, [compacted], base=live)
+    else:
+        _commit_manifest(out_dir, live, base=base)
     out = hashed.join(read_state(spark, out_dir), "content_sha").select(
         "doc_id", "cluster_id", (F.col("doc_id") == F.col("cluster_id")).alias("keep")
     )

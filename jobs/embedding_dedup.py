@@ -36,10 +36,8 @@ def main() -> None:
     args = ap.parse_args()
 
     from pyspark.sql import SparkSession
-    from pyspark.sql import functions as F
 
-    from finddup_spark.operators.dedup import embedding_lsh_edges
-    from finddup_spark.operators.cc import connected_components
+    from finddup_spark.operators.dedup import embedding_lsh_dedup
 
     existing = SparkSession.getActiveSession()
     if existing is not None:
@@ -51,23 +49,16 @@ def main() -> None:
     spark.sparkContext.setLogLevel("WARN")
 
     emb = spark.read.parquet(args.embeddings)
-    dim = len(emb.select("embedding").first()[0])
-    caches: list = []
-    edges, stats = embedding_lsh_edges(
+    first = emb.select("embedding").first()
+    if first is None:
+        raise SystemExit(f"no embeddings found at {args.embeddings}")
+    dim = len(first[0])
+    out, stats = embedding_lsh_dedup(
         emb, dim=dim, threshold=args.threshold,
-        n_planes=args.n_planes, n_tables=args.n_tables, cache_handles=caches,
-    )
-    verts = emb.select(F.col("vec_id").cast("long").alias("doc_id"))
-    clusters = connected_components(edges.select("src", "dst"), vertices=verts)
-    out = clusters.select(
-        F.col("doc_id").alias("vec_id"),
-        "cluster_id",
-        (F.col("doc_id") == F.col("cluster_id")).alias("keep"),
+        n_planes=args.n_planes, n_tables=args.n_tables, return_stats=True,
     )
     out.write.mode("overwrite").parquet(os.path.join(args.out, "assignments"))
     srow = stats.collect()[0]
-    for h in caches:
-        h.unpersist()
     n = spark.read.parquet(os.path.join(args.out, "assignments")).count()
     print(json.dumps({
         "vectors": n,

@@ -156,12 +156,20 @@ def test_ppm_decode_roundtrip(spark):
     assert len(data) == w * h * 3
 
     bad = spark.createDataFrame(
-        [(999, "ppm", bytearray(b"NOTAPPM")), (998, "webm", bytearray(b"\x1a\x45"))],
+        [
+            (999, "ppm", bytearray(b"NOTAPPM")),
+            (998, "webm", bytearray(b"\x1a\x45")),
+            # spec-valid P6 with 2-byte samples: decoding as 1-byte would
+            # give plausible-but-wrong stats — must be a NULL row instead
+            (997, "ppm", bytearray(b"P6\n2 2\n65535\n" + bytes(24))),
+            (996, "ppm", bytearray(b"P6\n-4 -3\n255\n")),
+        ],
         "doc_id long, kind string, payload binary",
     )
     brows = decode_media(bad).toPandas().set_index("doc_id")
-    assert brows.loc[999].width is None or pd.isna(brows.loc[999].width)
-    assert pd.isna(brows.loc[998].mean_pixel)  # no codec for kind → NULL row
+    for did in (999, 998, 997, 996):
+        assert pd.isna(brows.loc[did].mean_pixel), did
+        assert pd.isna(brows.loc[did].width), did
 
 
 def test_incremental_dedup_two_batches(spark, tmp_path):
@@ -303,6 +311,30 @@ def test_simhash_skewed_corpus_bounded_pairs(spark):
     assert hot == 1
 
 
+def test_embedding_lsh_dedup_identical_flood_collapsed(spark):
+    """An exact-dup flood (hundreds of bitwise-identical vectors) must be
+    collapsed to one representative BEFORE bucketing: no hot bucket
+    exists afterwards (stats prove it), and every copy clusters with the
+    min id — the probability-1 guarantee that salting alone cannot give
+    inside mixed hot buckets."""
+    from finddup_spark.operators.dedup import embedding_lsh_dedup
+
+    rng = np.random.default_rng(11)
+    v = [float(x) for x in rng.standard_normal(16)]
+    rows = [(i, v) for i in range(500)]  # the flood
+    for i in range(500, 600):  # plus distinct vectors
+        rows.append((i, [float(x) for x in rng.standard_normal(16)]))
+    emb = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    out, stats = embedding_lsh_dedup(
+        emb, dim=16, threshold=0.95, return_stats=True
+    )
+    pdf = out.toPandas()
+    got = dict(zip(pdf.vec_id, pdf.cluster_id))
+    assert all(got[i] == 0 for i in range(500))
+    srow = stats.collect()[0]
+    assert (srow["hot_buckets"] or 0) == 0  # flood collapsed pre-bucketing
+
+
 def test_ivf_skewed_cell_capped(spark):
     """A pathological quantizer (one centroid attracting almost every
     vector) must not degrade the probe join to O(N·N): the dominant cell's
@@ -418,6 +450,26 @@ def test_incremental_state_crash_safety(spark, tmp_path):
     assert dict(zip(r3.doc_id, r3.cluster_id)) == {6: 6}
     assert inc._manifest_versions(out)[0][0] > top_v + 1
     assert "delta_partial_garbage" not in inc._committed_deltas(out)
+
+
+def test_manifest_race_merges_concurrent_deltas(tmp_path):
+    """Version-race loser must not drop the winner's delta (lost update):
+    the commit loop re-reads the committed list and unions concurrent
+    additions; compaction replaces only the deltas it absorbed."""
+    import finddup_spark.streaming.incremental as inc
+
+    out = str(tmp_path / "race")
+    os.makedirs(out)
+    inc._commit_manifest(out, ["A"])
+    # W1 (based on [A]) appends B and commits first
+    inc._commit_manifest(out, ["A", "B"], base=["A"])
+    # W2 also based on [A], appends C — its commit must keep B
+    inc._commit_manifest(out, ["A", "C"], base=["A"])
+    assert set(inc._committed_deltas(out)) == {"A", "B", "C"}
+
+    # compaction race: compactor absorbed [A, B] into K while C stays
+    inc._commit_manifest(out, ["K"], base=["A", "B"])
+    assert set(inc._committed_deltas(out)) == {"K", "C"}
 
 
 def test_ivf_topk_recall_vs_brute_force(spark, sf0001):
