@@ -722,6 +722,50 @@ def _q_winnow_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _q_boilerplate_ratio(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus-level boilerplate n-gram detection: per-doc fraction of
+    5-token shingles whose document frequency >= max(2, n_docs // 20).
+    Fully oracled: the shingle semantics mirror signatures._batch_shingles
+    (the same sh CTE the minhash oracle uses), all JVM built-ins, and the
+    df threshold is integer arithmetic on both engines."""
+    from finddup_spark.operators.boilerplate import boilerplate_ratio
+
+    docs = _docs(spark, sf_dir)
+    n = docs.filter(F.col("text").isNotNull()).count()
+    out = boilerplate_ratio(docs, k=5, min_df=max(2, n // 20))
+    return out.select(
+        F.col("doc_id").cast("long").alias("doc_id"),
+        F.col("n_shingles").cast("long").alias("n_shingles"),
+        "n_boiler",
+        "boiler_ratio",
+    )
+
+
+def _q_streaming_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Engine-managed-state streaming dedup (applyInPandasWithState,
+    §2.9): documents flow through a file-source stream as ONE availableNow
+    micro-batch (single input file by construction), the per-content-sha
+    owner lives in the streaming state store, and the resulting
+    assignment equals the batch exact-dedup keep-list — which is exactly
+    the SQL oracle."""
+    import tempfile
+
+    from finddup_spark.streaming.stateful import stateful_streaming_dedup
+
+    src = tempfile.mkdtemp(prefix="entry_stream_src_")
+    out = tempfile.mkdtemp(prefix="entry_stream_out_")
+    docs = _docs(spark, sf_dir)
+    # one input file → one micro-batch → owner = global min per sha
+    docs.toPandas().to_parquet(f"{src}/docs.parquet", index=False)
+    q = stateful_streaming_dedup(spark, src, out, schema=docs.schema)
+    q.awaitTermination(300)
+    return spark.read.parquet(f"{out}/assignments").select(
+        F.col("doc_id").cast("long").alias("doc_id"),
+        F.col("cluster_id").cast("long").alias("cluster_id"),
+        "keep",
+    )
+
+
 def _q_winnow_planted(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Winnowing fingerprint index with a BY-CONSTRUCTION oracle (the
     simhash_planted technique): exact copies of the doc_id%7==0 subset are
@@ -820,6 +864,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "site_rollup_deep": _q_site_rollup_deep,
         "winnow_fingerprints": _q_winnow_fingerprints,
         "winnow_planted": _q_winnow_planted,
+        "boilerplate_ratio": _q_boilerplate_ratio,
+        "streaming_dedup": _q_streaming_dedup,
     }
 
 
@@ -1483,6 +1529,40 @@ def oracle_sql() -> dict[str, str]:
                    CAST(d.w * d.h AS BIGINT) AS n_pixels,
                    round(p.s * 1.0 / p.nb, 6) AS mean_pixel
             FROM dims d JOIN px p USING (doc_id)
+        """,
+        "boilerplate_ratio": """
+            WITH toks AS (
+                SELECT doc_id, string_split(text, ' ') AS t FROM documents
+            ),
+            sh AS (
+                SELECT DISTINCT doc_id,
+                       CASE WHEN len(t) >= 5 THEN array_to_string(t[i:i+4], ' ')
+                            ELSE array_to_string(t, ' ') END AS s
+                FROM toks, UNNEST(generate_series(1, greatest(len(t) - 4, 1))) AS u(i)
+            ),
+            mdf AS (
+                SELECT greatest(2, count(*) // 20) AS v FROM documents
+            ),
+            bp AS (
+                SELECT s FROM sh GROUP BY s
+                HAVING count(*) >= (SELECT v FROM mdf)
+            )
+            SELECT CAST(sh.doc_id AS BIGINT) AS doc_id,
+                   count(*) AS n_shingles,
+                   CAST(sum(CASE WHEN bp.s IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_boiler,
+                   round(sum(CASE WHEN bp.s IS NOT NULL THEN 1 ELSE 0 END) * 1.0
+                         / count(*), 6) AS boiler_ratio
+            FROM sh LEFT JOIN bp ON sh.s = bp.s
+            GROUP BY sh.doc_id
+        """,
+        "streaming_dedup": """
+            WITH g AS (
+                SELECT sha256(text) AS h, CAST(min(doc_id) AS BIGINT) AS cluster_id
+                FROM documents GROUP BY 1
+            )
+            SELECT d.doc_id, g.cluster_id,
+                   CAST(d.doc_id = g.cluster_id AS VARCHAR) AS keep
+            FROM documents d JOIN g ON sha256(d.text) = g.h
         """,
         "winnow_planted": f"""
             SELECT CAST(doc_id AS BIGINT) AS doc_id,

@@ -403,6 +403,74 @@ def test_trained_ivf_beats_trainless_on_ordered_corpus(spark):
     assert r_trained > r_trainless, (r_trained, r_trainless)
 
 
+def test_boilerplate_ngrams(spark):
+    """Corpus-level boilerplate detection: a shared 5-token phrase planted
+    in most docs is flagged by document frequency; per-doc ratios reflect
+    contamination; unique docs score 0."""
+    from finddup_spark.operators.boilerplate import (
+        boilerplate_ratio,
+        boilerplate_shingles,
+        doc_shingles,
+    )
+
+    boiler = "accept all cookies to continue"
+    rows = []
+    for i in range(40):
+        body = " ".join(f"w{i}t{j}" for j in range(20))
+        text = f"{boiler} {body}" if i < 30 else body
+        rows.append((i, text))
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+
+    sh = doc_shingles(docs, k=5)
+    bp = boilerplate_shingles(sh, min_df=10).toPandas()
+    assert boiler in set(bp.shingle)
+    # every flagged shingle must straddle the planted prefix
+    assert all("cookies" in s or "continue" in s or "accept" in s
+               for s in bp.shingle)
+
+    ratios = boilerplate_ratio(docs, k=5, min_df=10).toPandas().set_index("doc_id")
+    assert (ratios.loc[range(30)].n_boiler > 0).all()
+    assert (ratios.loc[range(30, 40)].n_boiler == 0).all()
+    assert (ratios.boiler_ratio <= 1.0).all()
+
+
+def test_stateful_streaming_dedup(spark, tmp_path):
+    """applyInPandasWithState dedup: engine-managed per-content-sha state
+    survives across separate availableNow runs via the checkpoint —
+    first-seen-wins like incremental.merge_batch."""
+    from finddup_spark.streaming.stateful import stateful_streaming_dedup
+
+    src = str(tmp_path / "src")
+    out = str(tmp_path / "out")
+    os.makedirs(src)
+    pd.DataFrame({
+        "doc_id": [1, 2, 3],
+        "url": ["u1", "u2", "u3"],
+        "warc_ts": pd.to_datetime(["2024-01-01"] * 3).astype("datetime64[us]"),
+        "text": ["xxx", "yyy", "xxx"],
+    }).to_parquet(os.path.join(src, "b1.parquet"), index=False)
+    q = stateful_streaming_dedup(spark, src, out)
+    q.awaitTermination(120)
+    asg = spark.read.parquet(os.path.join(out, "assignments")).toPandas()
+    got = dict(zip(asg.doc_id, asg.cluster_id))
+    assert got == {1: 1, 2: 2, 3: 1}
+    assert set(asg[asg.keep == "true"].doc_id) == {1, 2}
+
+    # second run: doc 10 repeats 'xxx' — the CHECKPOINTED state must make
+    # cluster 1 win even though 10 < nothing in this batch
+    pd.DataFrame({
+        "doc_id": [10, 11],
+        "url": ["u10", "u11"],
+        "warc_ts": pd.to_datetime(["2024-02-01"] * 2).astype("datetime64[us]"),
+        "text": ["xxx", "zzz"],
+    }).to_parquet(os.path.join(src, "b2.parquet"), index=False)
+    q2 = stateful_streaming_dedup(spark, src, out)
+    q2.awaitTermination(120)
+    asg2 = spark.read.parquet(os.path.join(out, "assignments")).toPandas()
+    got2 = dict(zip(asg2.doc_id, asg2.cluster_id))
+    assert got2[10] == 1 and got2[11] == 11
+
+
 def test_incremental_state_crash_safety(spark, tmp_path):
     """A crash between the delta write and the manifest commit must leave
     the committed state untouched (readable, old version) — the round-1
