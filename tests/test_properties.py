@@ -73,3 +73,41 @@ def test_exact_mutation_splits_exactly_one_member():
 def test_splitmix_bijective_on_sample():
     x = np.arange(10000, dtype=np.uint64)
     assert len(np.unique(splitmix64(x))) == 10000
+
+
+@settings(max_examples=10, deadline=None)
+@given(
+    st.integers(1, 200),
+    st.integers(1, 200),
+    st.binary(min_size=0, max_size=64),
+)
+def test_ppm_synthesis_parse_roundtrip(w, h, noise):
+    """Any header-valid P6 blob round-trips through the pure-numpy parser;
+    appending trailing garbage never changes the decoded stats (the spec
+    reads exactly w*h*3 bytes)."""
+    from finddup_spark.operators.multimodal import _parse_ppm
+
+    data = bytes((i * 31) % 256 for i in range(w * h * 3))
+    payload = b"P6\n%d %d\n255\n" % (w, h) + data + noise
+    pw, ph, maxval, arr = _parse_ppm(payload)
+    assert (pw, ph, maxval) == (w, h, 255)
+    assert arr.tobytes() == data
+
+
+@settings(max_examples=8, deadline=None)
+@given(st.lists(st.tuples(st.sampled_from("abc"), st.text("xyzw", min_size=1, max_size=6)),
+                min_size=1, max_size=300))
+def test_global_seq_equals_pandas_rank(spark, rows):
+    """Two-phase prefix-offset numbering == pandas groupby alphabetical
+    rank on arbitrary (category, url) multisets."""
+    from finddup_spark.operators.report_ops import _global_seq
+
+    pdf = pd.DataFrame(rows, columns=["category", "url"])
+    df = spark.createDataFrame(pdf)
+    out = _global_seq(df, "category", "url").toPandas()
+    assert len(out) == len(pdf)
+    for cat, grp in out.groupby("category"):
+        got = sorted(zip(grp.url, grp.seq))
+        want_urls = sorted(pdf[pdf.category == cat].url)
+        assert [u for u, _ in got] == want_urls
+        assert sorted(s for _, s in got) == list(range(1, len(want_urls) + 1))
