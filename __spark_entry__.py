@@ -891,6 +891,8 @@ WITH base AS (
   SELECT b.doc_id,
          CAST(b.n_tokens AS BIGINT) AS n_tokens,
          CAST(ceil(b.L / 4.0) AS BIGINT) AS n_subtokens,
+         CAST(length(regexp_extract_all(b.text, '\p{L}+|\p{N}+|[^\s\p{L}\p{N}]+'))
+              AS BIGINT) AS n_bpe_tokens,
          round(CASE WHEN b.n_tokens > 0 THEN b.l_nospace * 1.0 / b.n_tokens ELSE 0.0 END, 6) AS mean_token_len,
          round(CASE WHEN b.L > 0 THEN (b.L - b.l_nopunct) * 1.0 / b.L ELSE 0.0 END, 6) AS punct_ratio,
          round(CASE WHEN b.L > 0 THEN (b.L - b.l_nodigit) * 1.0 / b.L ELSE 0.0 END, 6) AS digit_ratio,
@@ -901,7 +903,8 @@ WITH base AS (
   FROM base b
 )
 SELECT s.doc_id,
-       s.n_tokens, s.n_subtokens, s.mean_token_len, s.punct_ratio, s.digit_ratio,
+       s.n_tokens, s.n_subtokens, s.n_bpe_tokens,
+       s.mean_token_len, s.punct_ratio, s.digit_ratio,
        round(
          (CASE WHEN s.n_tokens BETWEEN 50 AND 5000 THEN 1.0
                WHEN s.n_tokens > 0 THEN 0.5 ELSE 0.0 END) * 0.4

@@ -32,6 +32,20 @@ def subtoken_estimate(text: str | Column = "text", chars_per_token: float = 4.0)
     return F.ceil(F.length(c) / F.lit(chars_per_token)).cast("long")
 
 
+def bpe_token_count(text: str | Column = "text") -> Column:
+    """BPE-ish REGEX token count: runs of letters, runs of digits, and
+    runs of other non-space symbols each count as one token — the
+    word/number/punct segmentation every byte-pair tokenizer starts from
+    (GPT-2's pre-tokenizer minus the lookahead rules, which RE2-family
+    engines cannot express). Complements the ceil(len/4) planning
+    estimate with an actual segmentation count; both are JVM-side and
+    DuckDB-oracle-able."""
+    c = F.col(text) if isinstance(text, str) else text
+    return F.size(
+        F.regexp_extract_all(c, F.lit(r"\p{L}+|\p{N}+|[^\s\p{L}\p{N}]+"), 0)
+    ).cast("long")
+
+
 def punct_ratio(text: str | Column = "text") -> Column:
     c = F.col(text) if isinstance(text, str) else text
     stripped = F.regexp_replace(c, r"[^\p{L}\p{N}\s]", "")
@@ -113,6 +127,7 @@ def text_stats(docs: DataFrame, id_col: str = "doc_id", text_col: str = "text") 
         F.col(id_col),
         token_count(c).alias("n_tokens"),
         subtoken_estimate(c).alias("n_subtokens"),
+        bpe_token_count(c).alias("n_bpe_tokens"),
         F.round(mean_token_len(c), 6).alias("mean_token_len"),
         F.round(punct_ratio(c), 6).alias("punct_ratio"),
         F.round(digit_ratio(c), 6).alias("digit_ratio"),

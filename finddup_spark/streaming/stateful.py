@@ -49,20 +49,29 @@ def _assign(
     pdfs: Iterator[pd.DataFrame],
     state: GroupState,
 ) -> Iterator[pd.DataFrame]:
-    rows = pd.concat(list(pdfs), ignore_index=True)
+    # the owner must be known before the first output row (keep flags),
+    # so the group's chunks are drained first — but only the int64
+    # doc_ids are buffered (the sha is the GROUP KEY, constant for every
+    # row): a pathological exact-dup flood of n docs holds 8n bytes here,
+    # not n full rows
+    import numpy as np
+
+    chunks = [pdf["doc_id"].to_numpy(dtype="int64") for pdf in pdfs]
+    ids = np.concatenate(chunks) if chunks else np.empty(0, dtype="int64")
     if state.exists:
         (owner,) = state.get
     else:
-        owner = int(rows["doc_id"].min())
+        owner = int(ids.min())
         state.update((owner,))
-    yield pd.DataFrame(
-        {
-            "doc_id": rows["doc_id"].astype("int64"),
-            "content_sha": key[0],
-            "cluster_id": pd.Series([owner] * len(rows), dtype="int64"),
-            "keep": (rows["doc_id"] == owner).map({True: "true", False: "false"}),
-        }
-    )
+    for chunk in chunks:
+        yield pd.DataFrame(
+            {
+                "doc_id": chunk,
+                "content_sha": key[0],
+                "cluster_id": np.full(len(chunk), owner, dtype="int64"),
+                "keep": np.where(chunk == owner, "true", "false"),
+            }
+        )
 
 
 def stateful_streaming_dedup(
