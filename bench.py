@@ -87,8 +87,7 @@ def dup_pair_recall(clusters_pdf, truth_path: str,
     return round(captured / total, 6) if total else 1.0
 
 
-def q_pipeline(spark, sf_dir: str, out_dir: str, pages_path: str | None = None,
-               recall_box: dict | None = None) -> int:
+def q_pipeline(spark, sf_dir: str, out_dir: str, pages_path: str | None = None) -> int:
     from finddup_spark.plans.pipeline import DedupPipeline
 
     if pages_path:
@@ -98,22 +97,12 @@ def q_pipeline(spark, sf_dir: str, out_dir: str, pages_path: str | None = None,
     else:
         pages = build_pages(spark, sf_dir)
     run = DedupPipeline(spark, out_dir, resume=False).run(pages)
-    extra = {}
-    if recall_box is not None and pages_path:
-        truth_path = os.path.join(os.path.dirname(pages_path),
-                                  "truth_clusters.parquet")
-        if os.path.exists(truth_path):
-            cl = run.table(spark, "clusters").toPandas()
-            recall_box["dup_pair_recall"] = extra["dup_pair_recall"] = (
-                dup_pair_recall(cl, truth_path)
-            )
     # per-stage walls to stderr: the scaling/diagnosis data without
     # touching the stdout JSON contract
     print(
         json.dumps({
             "stage_walls_ms": {s.name: s.wall_ms for s in run.stages},
             "finalize_ms": run.finalize_ms,
-            **extra,
         }),
         file=sys.stderr,
     )
@@ -306,9 +295,8 @@ def run_bench(sf_dir: str, cores: int, only: str | None = None,
             pages_path = os.path.join(cdir, "pages.parquet")
     n_pages = spark.read.parquet(pages_path).count()
 
-    recall_box: dict = {}
     queries = {
-        "pipeline": lambda: q_pipeline(spark, sf_dir, os.path.join(out_root, "pipe"), pages_path, recall_box),
+        "pipeline": lambda: q_pipeline(spark, sf_dir, os.path.join(out_root, "pipe"), pages_path),
         "exact": lambda: q_exact(spark, sf_dir),
         "minhash_dedup": lambda: q_minhash_dedup(spark, sf_dir),
         "simhash_dedup": lambda: q_simhash_dedup(spark, sf_dir),
@@ -326,6 +314,18 @@ def run_bench(sf_dir: str, cores: int, only: str | None = None,
         fn()
         timings[name] = round(time.monotonic() - t0, 3)
 
+    # north-rule recall metric — computed OUTSIDE the timed windows from
+    # the stage tables the timed run already wrote
+    recall = None
+    if "pipeline" in timings and pages_path:
+        truth_path = os.path.join(os.path.dirname(pages_path),
+                                  "truth_clusters.parquet")
+        clusters_path = os.path.join(out_root, "pipe", "clusters")
+        if os.path.exists(truth_path) and os.path.exists(clusters_path):
+            recall = dup_pair_recall(
+                spark.read.parquet(clusters_path).toPandas(), truth_path
+            )
+
     spark.stop()
     shutil.rmtree(out_root, ignore_errors=True)
     total = round(sum(timings.values()), 3)
@@ -340,8 +340,8 @@ def run_bench(sf_dir: str, cores: int, only: str | None = None,
     }
     if "pipeline" in timings:
         result["pages_per_sec"] = round(n_pages / timings["pipeline"], 2)
-    if "dup_pair_recall" in recall_box:
-        result["dup_pair_recall"] = recall_box["dup_pair_recall"]
+    if recall is not None:
+        result["dup_pair_recall"] = recall
     return result
 
 
