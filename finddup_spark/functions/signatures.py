@@ -47,17 +47,23 @@ from ..hashing import (
 _I64 = np.int64
 
 
-def _batch_shingles(
+def _batch_windows(
     texts: pd.Series, cfg: DedupConfig
-) -> tuple[list[np.ndarray], list[np.ndarray]]:
-    """Per-doc (unique shingle hashes, multiplicities) for one Arrow batch.
+) -> tuple[np.ndarray, np.ndarray]:
+    """(flat window hashes grouped by doc in batch order, windows per doc)
+    — the RAW shingle multiset of one Arrow batch, no deduplication.
 
     Fully vectorized and string-free: the batch's texts are concatenated
     into ONE byte buffer, tokenized + hashed with the prefix-product
-    rolling hash (hashing.token_hash_stream — no Python string objects,
-    no object-array unique), then one global masked window op + one
-    lexsort-based unique over (doc, shingle) pairs. Docs shorter than k
-    get one whole-doc shingle.
+    rolling hash (hashing.token_hash_stream — no Python string objects),
+    then one global masked window op. Docs shorter than k tokens get one
+    whole-doc shingle (spliced in at their segment position — rare).
+
+    This is the signature-kernel fast path: MinHash (min over a multiset
+    equals min over its distinct set) and SimHash (per-occurrence votes
+    equal multiplicity-weighted distinct votes) never need the
+    deduplicated form, so the batch-wide lexsort+unique lives only in
+    :func:`_batch_shingles` (verification / callers that need set form).
     """
     n_docs = len(texts)
     enc = [
@@ -70,16 +76,13 @@ def _batch_shingles(
         np.cumsum([len(e) + 1 for e in enc[:-1]], out=doc_starts[1:])
     tok_h, tok_off = token_hash_stream(data, cfg.seed)
     if len(tok_h) == 0:
-        return [np.empty(0, np.uint64)] * n_docs, [np.empty(0, np.float64)] * n_docs
+        return np.empty(0, np.uint64), np.zeros(n_docs, dtype=np.int64)
     doc_idx = np.searchsorted(doc_starts, tok_off, side="right") - 1
     lengths = np.bincount(doc_idx, minlength=n_docs)
 
     k = cfg.shingle_k
     offsets = np.zeros(n_docs, dtype=np.int64)
     np.cumsum(lengths[:-1], out=offsets[1:])
-
-    out_sh: list[np.ndarray] = [np.empty(0, np.uint64)] * n_docs
-    out_w: list[np.ndarray] = [np.empty(0, np.float64)] * n_docs
 
     N = len(tok_h)
     if N >= k:
@@ -96,30 +99,59 @@ def _batch_shingles(
         win_h = splitmix64(acc)
         valid = doc_idx[:n_win] == doc_idx[k - 1 :]  # window inside one doc
         w_doc = doc_idx[:n_win][valid]
-        w_hash = win_h[valid]
-        # segmented unique+counts via lexsort over (doc, hash)
-        order = np.lexsort((w_hash, w_doc))
-        sd, sh = w_doc[order], w_hash[order]
-        new = np.ones(len(sd), dtype=bool)
-        if len(sd) > 1:
-            new[1:] = (sd[1:] != sd[:-1]) | (sh[1:] != sh[:-1])
-        starts = np.nonzero(new)[0]
-        counts = np.diff(np.append(starts, len(sd)))
-        u_doc, u_hash = sd[starts], sh[starts]
-        # split back per doc
-        doc_starts = np.searchsorted(u_doc, np.arange(n_docs))
-        doc_ends = np.searchsorted(u_doc, np.arange(n_docs), side="right")
-        for d in range(n_docs):
-            lo, hi = doc_starts[d], doc_ends[d]
-            if hi > lo:
-                out_sh[d] = u_hash[lo:hi]
-                out_w[d] = counts[lo:hi].astype(np.float64)
+        flat = win_h[valid]  # doc-contiguous: doc_idx is nondecreasing
+        counts = np.bincount(w_doc, minlength=n_docs)
+    else:
+        flat = np.empty(0, np.uint64)
+        counts = np.zeros(n_docs, dtype=np.int64)
 
-    # short docs (0 < n < k): one whole-doc shingle (rare — small loop)
-    for d in np.nonzero((lengths > 0) & (lengths < k))[0]:
-        h = shingle_hashes(tok_h[offsets[d] : offsets[d] + lengths[d]], k)
-        out_sh[int(d)] = h
-        out_w[int(d)] = np.ones(len(h), dtype=np.float64)
+    # short docs (0 < n < k): one whole-doc shingle (rare — small loop),
+    # spliced into the flat array at each doc's segment start
+    short = np.nonzero((lengths > 0) & (lengths < k))[0]
+    if len(short):
+        seg_starts = np.zeros(n_docs + 1, dtype=np.int64)
+        np.cumsum(counts, out=seg_starts[1:])
+        ins_pos, ins_val = [], []
+        for d in short:
+            h = shingle_hashes(tok_h[offsets[d] : offsets[d] + lengths[d]], k)
+            ins_pos.extend([int(seg_starts[int(d)])] * len(h))
+            ins_val.extend(h.tolist())
+        flat = np.insert(flat, ins_pos, np.array(ins_val, dtype=np.uint64))
+        counts = counts.copy()
+        for d in short:
+            counts[int(d)] += 1
+    return flat, counts.astype(np.int64)
+
+
+def _batch_shingles(
+    texts: pd.Series, cfg: DedupConfig
+) -> tuple[list[np.ndarray], list[np.ndarray]]:
+    """Per-doc (unique shingle hashes, multiplicities) for one Arrow batch
+    — the SET form of :func:`_batch_windows`, deduplicated per doc via one
+    batch-wide lexsort over (doc, hash). Used by verification (exact
+    set-Jaccard needs distinct shingles) and the mirror oracle."""
+    n_docs = len(texts)
+    flat, counts = _batch_windows(texts, cfg)
+    out_sh: list[np.ndarray] = [np.empty(0, np.uint64)] * n_docs
+    out_w: list[np.ndarray] = [np.empty(0, np.float64)] * n_docs
+    if len(flat) == 0:
+        return out_sh, out_w
+    w_doc = np.repeat(np.arange(n_docs, dtype=np.int64), counts)
+    order = np.lexsort((flat, w_doc))
+    sd, sh = w_doc[order], flat[order]
+    new = np.ones(len(sd), dtype=bool)
+    if len(sd) > 1:
+        new[1:] = (sd[1:] != sd[:-1]) | (sh[1:] != sh[:-1])
+    starts = np.nonzero(new)[0]
+    cnts = np.diff(np.append(starts, len(sd)))
+    u_doc, u_hash = sd[starts], sh[starts]
+    doc_los = np.searchsorted(u_doc, np.arange(n_docs))
+    doc_his = np.searchsorted(u_doc, np.arange(n_docs), side="right")
+    for d in range(n_docs):
+        lo, hi = doc_los[d], doc_his[d]
+        if hi > lo:
+            out_sh[d] = u_hash[lo:hi]
+            out_w[d] = cnts[lo:hi].astype(np.float64)
     return out_sh, out_w
 
 
@@ -177,18 +209,13 @@ def compute_signatures(
         for pdf in batches:
             for lo in range(0, len(pdf), SLICE):
                 sub = pdf.iloc[lo : lo + SLICE]
-                sh, w = _batch_shingles(sub[text_col], cfg)
-                lengths = np.array([len(s) for s in sh])
-                allsh = (
-                    np.concatenate([s for s in sh if len(s)])
-                    if lengths.sum()
-                    else np.empty(0, np.uint64)
-                )
-                allw = (
-                    np.concatenate([x for x in w if len(x)])
-                    if lengths.sum()
-                    else np.empty(0, np.float64)
-                )
+                # RAW windows, no dedup: MinHash/SimHash are multiset-
+                # invariant (min over multiset == min over set; occurrence
+                # votes == multiplicity-weighted votes), so the kernel
+                # skips _batch_shingles' batch-wide lexsort+unique AND the
+                # per-doc split/re-concat — measured ~35% off this stage.
+                allsh, lengths = _batch_windows(sub[text_col], cfg)
+                allw = np.ones(len(allsh), dtype=np.float64)
                 mh = minhash_batch(allsh, lengths, cfg)
                 simh = simhash_batch(allsh, allw, lengths)
                 cols = {"doc_id": sub[id_col].values}
@@ -198,6 +225,9 @@ def compute_signatures(
                     bh = band_hashes(mh, n_bands, rows_per_band)
                     cols["bands"] = [row.view(_I64) for row in bh]
                 cols["simhash"] = simh.view(_I64)
+                # lineage column: shingle WINDOW count (multiset size) —
+                # no downstream consumer needs the distinct count, and
+                # computing it would reintroduce the per-batch sort
                 cols["n_shingles"] = lengths.astype(_I64)
                 yield pd.DataFrame(cols)
 
