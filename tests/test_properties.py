@@ -111,3 +111,31 @@ def test_global_seq_equals_pandas_rank(spark, rows):
         want_urls = sorted(pdf[pdf.category == cat].url)
         assert [u for u, _ in got] == want_urls
         assert sorted(s for _, s in got) == list(range(1, len(want_urls) + 1))
+
+
+@settings(max_examples=20, deadline=None)
+@given(st.lists(
+    st.text(alphabet="ab cd", min_size=0, max_size=40), min_size=1, max_size=12,
+))
+def test_batch_windows_multiset_matches_set_form(texts):
+    """_batch_windows (raw multiset, signature fast path) and
+    _batch_shingles (unique+counts, verify path) must describe the same
+    per-doc shingle multiset — including empty docs, whitespace-only
+    docs, and docs shorter than k (the whole-doc-shingle splice)."""
+    from finddup_spark.functions.signatures import (
+        _batch_shingles,
+        _batch_windows,
+    )
+
+    s = pd.Series(texts)
+    flat, counts = _batch_windows(s, DEFAULT_CONFIG)
+    sh, w = _batch_shingles(s, DEFAULT_CONFIG)
+    assert counts.sum() == len(flat)
+    off = 0
+    for d in range(len(texts)):
+        seg = flat[off:off + counts[d]]
+        off += counts[d]
+        uniq, cnt = np.unique(seg, return_counts=True)
+        assert np.array_equal(uniq, np.sort(sh[d]))
+        order = np.argsort(sh[d])
+        assert np.array_equal(cnt.astype(np.float64), w[d][order])
