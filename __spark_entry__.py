@@ -722,6 +722,50 @@ def _q_winnow_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _q_cross_modal_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CROSS-MODAL dedup composite: text MinHash edges ∪ embedding cosine
+    edges → one CC. Non-vacuous via two DISJOINT planted families over
+    the docs⋈embeddings universe: ids %9==0 get a copy at +off with the
+    SAME text but a NEGATED embedding (text edge only — cosine is exactly
+    −1 to the original), ids %9==1 get a copy at +2·off with the SAME
+    embedding but token-REVERSED text (embedding edge only — reversed
+    zipf text shares ~no 5-token shingle with anything). The oracle
+    recomputes the exhaustive union edge set (shingle Jaccard ≥ 0.8 over
+    planted texts UNION all-pairs cosine ≥ 0.95 over planted vectors) and
+    resolves the combined graph with one recursive-CTE CC — proving the
+    engine unions EDGES, not per-tier cluster assignments."""
+    from finddup_spark.operators.dedup import cross_modal_dedup
+
+    off = _doc_offset(spark, sf_dir)
+    docs = _docs(spark, sf_dir).select("doc_id", "text")
+    emb = _emb(spark, sf_dir).select("vec_id", "embedding")
+    j = docs.join(emb, docs.doc_id == emb.vec_id).select(
+        "doc_id", "text", "embedding"
+    )
+    dim = len(emb.select("embedding").first()[0])
+    a = j.filter(F.pmod("doc_id", 9) == 0).select(
+        (F.col("doc_id") + off).alias("doc_id"),
+        "text",
+        F.transform("embedding", lambda x: -x).alias("embedding"),
+    )
+    b = j.filter(F.pmod("doc_id", 9) == 1).select(
+        (F.col("doc_id") + 2 * off).alias("doc_id"),
+        F.array_join(F.reverse(F.split("text", " ")), " ").alias("text"),
+        "embedding",
+    )
+    pl = j.unionByName(a).unionByName(b)
+    out = cross_modal_dedup(
+        pl.select("doc_id", "text"),
+        pl.select(F.col("doc_id").alias("vec_id"), "embedding"),
+        dim=dim,
+    )
+    return out.select(
+        F.col("doc_id").cast("long").alias("doc_id"),
+        F.col("cluster_id").cast("long").alias("cluster_id"),
+        F.col("keep").cast("string").alias("keep"),
+    )
+
+
 def _q_boilerplate_ratio(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Corpus-level boilerplate n-gram detection: per-doc fraction of
     5-token shingles whose document frequency >= max(2, n_docs // 20).
@@ -866,6 +910,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "winnow_planted": _q_winnow_planted,
         "boilerplate_ratio": _q_boilerplate_ratio,
         "streaming_dedup": _q_streaming_dedup,
+        "cross_modal_dedup": _q_cross_modal_dedup,
     }
 
 
@@ -943,9 +988,15 @@ FROM stats s JOIN ev e USING (doc_id)
 # (1 - s^r)^b = (1 - 0.85^4)^32 ≈ 4e-9 (b=32 bands, r=4 rows) — and the
 # guard turns a violated precondition into a loud failure instead of a
 # silent hash mismatch.
-_JACCARD_EDGES_SQL = """
+def _jaccard_edges_over(table: str, extra_edges: str = "") -> str:
+    """The exhaustive shingle-Jaccard edge fragment parameterized on its
+    source relation, so planted/composite corpora (CTEs) reuse it;
+    ``extra_edges`` unions additional edge SQL (e.g. embedding-cosine
+    pairs for the cross-modal composite) into the same CC."""
+    extra = f"UNION {extra_edges}" if extra_edges else ""
+    return f"""
     toks AS (
-        SELECT doc_id, string_split(text, ' ') AS t FROM documents
+        SELECT doc_id, string_split(text, ' ') AS t FROM {table}
     ),
     sh AS (
         SELECT DISTINCT doc_id,
@@ -965,14 +1016,18 @@ _JACCARD_EDGES_SQL = """
         JOIN card ca ON ca.doc_id = src
         JOIN card cb ON cb.doc_id = dst
         WHERE i * 1.0 / (ca.c + cb.c - i) >= 0.8
+        {extra}
     ),
     sym AS (SELECT src, dst FROM edges UNION SELECT dst, src FROM edges),
     reach(a, b) AS (
-        SELECT CAST(doc_id AS BIGINT), CAST(doc_id AS BIGINT) FROM documents
+        SELECT CAST(doc_id AS BIGINT), CAST(doc_id AS BIGINT) FROM {table}
         UNION
         SELECT r.a, s.dst FROM reach r JOIN sym s ON r.b = s.src
     )
 """
+
+
+_JACCARD_EDGES_SQL = _jaccard_edges_over("documents")
 
 
 _LSH_ORACLE_DIM = 64  # _q_lsh_topk raises if the data disagrees
@@ -1532,6 +1587,32 @@ def oracle_sql() -> dict[str, str]:
                    CAST(d.w * d.h AS BIGINT) AS n_pixels,
                    round(p.s * 1.0 / p.nb, 6) AS mean_pixel
             FROM dims d JOIN px p USING (doc_id)
+        """,
+        "cross_modal_dedup": f"""
+            WITH RECURSIVE pl AS (
+                SELECT d.doc_id, d.text,
+                       CAST(e.embedding AS DOUBLE[]) AS embedding
+                FROM documents d JOIN embeddings e ON e.vec_id = d.doc_id
+                UNION ALL
+                SELECT d.doc_id + {_OFF_SQL}, d.text,
+                       list_transform(CAST(e.embedding AS DOUBLE[]), x -> -x)
+                FROM documents d JOIN embeddings e ON e.vec_id = d.doc_id
+                WHERE d.doc_id % 9 = 0
+                UNION ALL
+                SELECT d.doc_id + 2 * {_OFF_SQL},
+                       array_to_string(list_reverse(string_split(d.text, ' ')), ' '),
+                       CAST(e.embedding AS DOUBLE[])
+                FROM documents d JOIN embeddings e ON e.vec_id = d.doc_id
+                WHERE d.doc_id % 9 = 1
+            ),
+            {_jaccard_edges_over("pl", extra_edges='''
+                SELECT CAST(a.doc_id AS BIGINT), CAST(b.doc_id AS BIGINT)
+                FROM pl a JOIN pl b ON a.doc_id < b.doc_id
+                WHERE list_cosine_similarity(a.embedding, b.embedding) >= 0.95
+            ''').lstrip().lstrip(chr(10))}
+            SELECT a AS doc_id, min(b) AS cluster_id,
+                   CAST(a = min(b) AS VARCHAR) AS keep
+            FROM reach GROUP BY a
         """,
         "boilerplate_ratio": """
             WITH toks AS (

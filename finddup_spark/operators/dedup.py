@@ -333,6 +333,56 @@ def embedding_lsh_edges(
     return star0.unionByName(rep_edges), stats
 
 
+def cross_modal_dedup(
+    docs: DataFrame,
+    embeddings: DataFrame,
+    dim: int,
+    cfg: DedupConfig = DEFAULT_CONFIG,
+    cosine_threshold: float = 0.95,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    vec_id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """CROSS-MODAL near-dup dedup: a document is a duplicate if its TEXT
+    is a near-dup (MinHash+LSH, shingle Jaccard >= cfg.verify_jaccard) OR
+    its EMBEDDING is (hyperplane-LSH, cosine >= cosine_threshold) — the
+    union of both verified edge streams resolved by ONE connected-
+    components pass, so a chain text-dup → embedding-dup collapses into
+    a single cluster. This is the real multimodal-pipeline semantics:
+    unioning the two tiers' CLUSTER assignments instead of their EDGES
+    would miss exactly those chains.
+
+    Both edge generators are the engine's production paths (salted
+    hot-bucket handling, identical-content collapse); the union is a
+    cheap id-pair unionByName, and CC runs once over the combined graph.
+    Returns (doc_id, cluster_id, keep). ``embeddings`` is joined by
+    ``vec_id_col == id_col`` identity — rows missing a vector simply
+    contribute no embedding edges.
+    """
+    sigs = compute_signatures(docs, cfg, id_col=id_col, text_col=text_col).persist()
+    caches: list = [sigs]
+    pairs, _stats = candidate_pairs(explode_bands(sigs, cfg), cfg, cache_handles=caches)
+    text_edges = verify_pairs(
+        pairs, docs, cfg, id_col=id_col, text_col=text_col
+    ).select("src", "dst")
+    vec_edges, _vstats = embedding_lsh_edges(
+        embeddings, dim, cosine_threshold,
+        id_col=vec_id_col, vec_col=vec_col, cache_handles=caches,
+    )
+    edges = text_edges.unionByName(vec_edges.select("src", "dst"))
+    cl = connected_components(
+        edges, vertices=docs.select(F.col(id_col).cast("long").alias("doc_id"))
+    )
+    for h in caches:
+        h.unpersist()
+    return cl.select(
+        F.col("doc_id").alias(id_col),
+        "cluster_id",
+        (F.col("doc_id") == F.col("cluster_id")).alias("keep"),
+    )
+
+
 def embedding_cosine_dedup(
     embeddings: DataFrame,
     threshold: float = 0.95,

@@ -335,6 +335,35 @@ def test_embedding_lsh_dedup_identical_flood_collapsed(spark):
     assert (srow["hot_buckets"] or 0) == 0  # flood collapsed pre-bucketing
 
 
+def test_cross_modal_chain_collapses(spark):
+    """X≈Y by TEXT only and Y≈Z by EMBEDDING only must land in ONE
+    cluster — the chain that unioning per-tier cluster assignments
+    (instead of edges) would split."""
+    from finddup_spark.operators.dedup import cross_modal_dedup
+
+    rng = np.random.default_rng(5)
+    base_text = " ".join(f"tok{i}" for i in range(120))
+    other_text = " ".join(f"zzz{i}" for i in range(120))
+    v1 = [float(x) for x in rng.standard_normal(16)]
+    v2 = [float(x) for x in rng.standard_normal(16)]
+    v3 = [float(x) for x in rng.standard_normal(16)]
+    rows = [
+        (0, base_text, v1),        # X
+        (1, base_text, v2),        # Y: text-dup of X, unrelated vector
+        (2, other_text, v2),       # Z: embedding-dup of Y, unrelated text
+        (3, " ".join(f"q{i}" for i in range(80)), v3),  # singleton
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string, embedding array<double>")
+    out = cross_modal_dedup(
+        df.select("doc_id", "text"),
+        df.select(F.col("doc_id").alias("vec_id"), "embedding"),
+        dim=16,
+    ).toPandas()
+    got = dict(zip(out.doc_id, out.cluster_id))
+    assert got[0] == got[1] == got[2] == 0
+    assert got[3] == 3
+
+
 def test_ivf_skewed_cell_capped(spark):
     """A pathological quantizer (one centroid attracting almost every
     vector) must not degrade the probe join to O(N·N): the dominant cell's
