@@ -758,6 +758,7 @@ def _q_cross_modal_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
         pl.select("doc_id", "text"),
         pl.select(F.col("doc_id").alias("vec_id"), "embedding"),
         dim=dim,
+        oracle_guard=True,
     )
     return out.select(
         F.col("doc_id").cast("long").alias("doc_id"),
@@ -802,7 +803,12 @@ def _q_streaming_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     # one input file → one micro-batch → owner = global min per sha
     docs.toPandas().to_parquet(f"{src}/docs.parquet", index=False)
     q = stateful_streaming_dedup(spark, src, out, schema=docs.schema)
-    q.awaitTermination(300)
+    finished = q.awaitTermination(300)
+    if not finished:
+        q.stop()
+        raise RuntimeError(
+            "streaming_dedup: availableNow batch did not finish in 300s"
+        )
     return spark.read.parquet(f"{out}/assignments").select(
         F.col("doc_id").cast("long").alias("doc_id"),
         F.col("cluster_id").cast("long").alias("cluster_id"),
@@ -1617,6 +1623,7 @@ def oracle_sql() -> dict[str, str]:
         "boilerplate_ratio": """
             WITH toks AS (
                 SELECT doc_id, string_split(text, ' ') AS t FROM documents
+                WHERE text IS NOT NULL
             ),
             sh AS (
                 SELECT DISTINCT doc_id,
@@ -1625,7 +1632,9 @@ def oracle_sql() -> dict[str, str]:
                 FROM toks, UNNEST(generate_series(1, greatest(len(t) - 4, 1))) AS u(i)
             ),
             mdf AS (
+                -- NON-NULL docs only, matching the engine's n_docs count
                 SELECT greatest(2, count(*) // 20) AS v FROM documents
+                WHERE text IS NOT NULL
             ),
             bp AS (
                 SELECT s FROM sh GROUP BY s

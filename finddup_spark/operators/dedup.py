@@ -247,8 +247,12 @@ def embedding_lsh_dedup(
     cl = connected_components(edges.select("src", "dst"), vertices=verts)
     if return_stats:
         # materialize while the bucket cache is still alive — consumed
-        # after the unpersist below it would recompute the whole index
-        stats = embeddings.sparkSession.createDataFrame(stats.collect())
+        # after the unpersist below it would recompute the whole index.
+        # Explicit schema: an empty input leaves NULL aggregate fields
+        # that schema inference cannot type.
+        stats = embeddings.sparkSession.createDataFrame(
+            stats.collect(), stats.schema
+        )
     for h in caches:
         h.unpersist()
     out = cl.select(
@@ -286,22 +290,26 @@ def embedding_lsh_edges(
     DISTINCT vectors only (also shrinking hot buckets by the exact-dup
     ratio), and a member-to-member near-pair across groups is found iff
     its rep-to-rep pair is — the cosines are identical."""
+    from pyspark.sql.window import Window
+
     from .simsearch import cosine_expr, hyperplane_buckets, with_norm
 
+    # ONE shuffle keyed on the vector (a window min, not groupBy + join
+    # back — that exchanged the full float vectors twice); a pathological
+    # identical-vector flood lands in one partition's window but the work
+    # there is a linear min, not a sort-to-pair blowup
+    wv = Window.partitionBy(vec_col)
     ids = embeddings.select(
         F.col(id_col).cast("long").alias(id_col), F.col(vec_col).alias(vec_col)
+    ).withColumn("rep", F.min(id_col).over(wv))
+    star0 = ids.filter(F.col(id_col) != F.col("rep")).select(
+        F.col("rep").alias("src"),
+        F.col(id_col).alias("dst"),
+        F.lit(1.0).alias("cos"),
     )
-    reps = ids.groupBy(vec_col).agg(F.min(id_col).alias("rep"))
-    star0 = (
-        ids.join(reps, vec_col)
-        .filter(F.col(id_col) != F.col("rep"))
-        .select(
-            F.col("rep").alias("src"),
-            F.col(id_col).alias("dst"),
-            F.lit(1.0).alias("cos"),
-        )
+    distinct_vecs = ids.filter(F.col(id_col) == F.col("rep")).select(
+        id_col, vec_col
     )
-    distinct_vecs = reps.select(F.col("rep").alias(id_col), vec_col)
 
     bands = hyperplane_buckets(
         distinct_vecs, dim, n_planes, n_tables, seed, id_col, vec_col
@@ -343,6 +351,7 @@ def cross_modal_dedup(
     text_col: str = "text",
     vec_id_col: str = "vec_id",
     vec_col: str = "embedding",
+    oracle_guard: bool = False,
 ) -> DataFrame:
     """CROSS-MODAL near-dup dedup: a document is a duplicate if its TEXT
     is a near-dup (MinHash+LSH, shingle Jaccard >= cfg.verify_jaccard) OR
@@ -353,24 +362,58 @@ def cross_modal_dedup(
     unioning the two tiers' CLUSTER assignments instead of their EDGES
     would miss exactly those chains.
 
-    Both edge generators are the engine's production paths (salted
-    hot-bucket handling, identical-content collapse); the union is a
-    cheap id-pair unionByName, and CC runs once over the combined graph.
-    Returns (doc_id, cluster_id, keep). ``embeddings`` is joined by
-    ``vec_id_col == id_col`` identity — rows missing a vector simply
-    contribute no embedding edges.
+    Both edge generators collapse identical content to one representative
+    BEFORE bucketing (text: sha256 groups here, the DedupPipeline's
+    exact-first representative trick; vectors: embedding_lsh_edges stage
+    0), so byte-identical duplicates are found with probability 1 even
+    inside salted hot buckets, and the fuzzy tiers shrink by the
+    exact-dup ratio. The union is a cheap id-pair unionByName, and CC
+    runs once over the combined graph. Returns (doc_id, cluster_id,
+    keep). ``embeddings`` is joined by ``vec_id_col == id_col`` identity
+    — rows missing a vector simply contribute no embedding edges.
+
+    ``oracle_guard=True`` asserts NEITHER tier star-truncated a hot
+    bucket — the precondition for the exhaustive union-edge SQL oracle.
     """
-    sigs = compute_signatures(docs, cfg, id_col=id_col, text_col=text_col).persist()
+    # exact-text collapse: one representative doc per sha256(text)
+    hashed = docs.select(
+        F.col(id_col).cast("long").alias(id_col),
+        F.sha2(F.col(text_col), 256).alias("__h"),
+    )
+    treps = hashed.groupBy("__h").agg(F.min(id_col).alias("rep"))
+    text_star = (
+        hashed.join(treps, "__h")
+        .filter(F.col(id_col) != F.col("rep"))
+        .select(F.col("rep").alias("src"), F.col(id_col).alias("dst"))
+    )
+    rep_docs = docs.join(
+        treps.select(F.col("rep").alias(id_col)), id_col, "left_semi"
+    )
+
+    sigs = compute_signatures(
+        rep_docs, cfg, id_col=id_col, text_col=text_col
+    ).persist()
     caches: list = [sigs]
-    pairs, _stats = candidate_pairs(explode_bands(sigs, cfg), cfg, cache_handles=caches)
+    pairs, tstats = candidate_pairs(explode_bands(sigs, cfg), cfg, cache_handles=caches)
     text_edges = verify_pairs(
-        pairs, docs, cfg, id_col=id_col, text_col=text_col
+        pairs, rep_docs, cfg, id_col=id_col, text_col=text_col
     ).select("src", "dst")
-    vec_edges, _vstats = embedding_lsh_edges(
+    vec_edges, vstats = embedding_lsh_edges(
         embeddings, dim, cosine_threshold,
         id_col=vec_id_col, vec_col=vec_col, cache_handles=caches,
     )
-    edges = text_edges.unionByName(vec_edges.select("src", "dst"))
+    if oracle_guard:
+        for tier, stats in (("text", tstats), ("embedding", vstats)):
+            srow = stats.collect()[0]
+            if (srow["hot_buckets"] or 0) > 0:
+                raise RuntimeError(
+                    f"cross_modal_dedup oracle guard: {tier} tier "
+                    f"star-truncated {srow['hot_buckets']} hot bucket(s) — "
+                    "the exhaustive union-edge SQL oracle is not sound here"
+                )
+    edges = text_star.unionByName(text_edges).unionByName(
+        vec_edges.select("src", "dst")
+    )
     cl = connected_components(
         edges, vertices=docs.select(F.col(id_col).cast("long").alias("doc_id"))
     )

@@ -58,71 +58,93 @@ def _manifest_versions(out_dir: str) -> list[tuple[int, str]]:
     return sorted(out, reverse=True)
 
 
-def _committed_deltas(out_dir: str) -> list[str]:
-    """Highest-COMMITTED-version read: walk manifest versions newest
-    first and return the first whose body carries the commit trailer — an
-    in-flight or crash-truncated manifest (no trailer) is skipped, never
-    half-read. This is the object-store-safe half of the protocol: it
-    needs no atomic rename, only per-object read-your-writes."""
-    for _v, name in _manifest_versions(out_dir):
+def _active_manifest(out_dir: str) -> tuple[int, list[str]]:
+    """(version, deltas) of the highest COMMITTED manifest: walk versions
+    newest first and take the first whose body carries the commit trailer
+    — an in-flight or crash-truncated manifest (no trailer) is skipped,
+    never half-read. Needs no atomic rename, only per-object
+    read-your-writes."""
+    for v, name in _manifest_versions(out_dir):
         with open(os.path.join(out_dir, name)) as f:
             lines = f.read().splitlines()
         if lines and lines[-1] == _COMMIT_TRAILER:
-            return [ln.strip() for ln in lines[:-1] if ln.strip()]
+            return v, [ln.strip() for ln in lines[:-1] if ln.strip()]
     mp = _manifest_path(out_dir)  # legacy fallback
     if os.path.exists(mp):
         with open(mp) as f:
-            return [line.strip() for line in f if line.strip()]
-    return []
+            return 0, [line.strip() for line in f if line.strip()]
+    return 0, []
+
+
+def _committed_deltas(out_dir: str) -> list[str]:
+    return _active_manifest(out_dir)[1]
 
 
 def _commit_manifest(
-    out_dir: str, deltas: list[str], base: list[str] | None = None
-) -> None:
-    """Conditional-put-style commit — the object-store-safe protocol the
-    round-2 ``os.replace`` rename could not give (S3 has no atomic
-    rename): the new manifest is written ONCE at its final versioned name
-    ``exact_state_MANIFEST.v{N}`` opened with O_CREAT|O_EXCL (the POSIX
-    analog of S3 If-None-Match / GCS if-generation-match-0 — creation
-    fails if the name exists, so two racing writers can never both claim
-    version N; the loser re-reads and takes N+1), body terminated by a
+    out_dir: str, deltas: list[str], expected_base: list[str] | None = None
+) -> bool:
+    """Optimistic-concurrency (CAS) commit — the object-store-safe
+    protocol the round-2 ``os.replace`` rename could not give (S3 has no
+    atomic rename): the new manifest is written ONCE at its final
+    versioned name ``exact_state_MANIFEST.v{N}`` opened with
+    O_CREAT|O_EXCL (the POSIX analog of S3 If-None-Match / GCS
+    if-generation-match-0 — creation fails if the name exists, so two
+    racing writers can never both claim version N), body terminated by a
     commit trailer and fsynced. A crash mid-write leaves a trailer-less
     file at version N that readers permanently skip (and future commits
     version past) — partial state is never exposed. Old versions are tiny
     text files; GC may delete everything below the highest committed
-    version. The Iceberg-metadata analog; on real Iceberg the whole layer
-    is ``MERGE INTO`` + snapshot commit.
+    version.
 
-    Race semantics: a loser does NOT just bump the version number — it
-    re-reads the current committed list and commits ``deltas`` plus any
-    CONCURRENT additions (committed now, absent from the ``base`` list
-    this writer built on), so a concurrently-committed delta is never
-    silently dropped (lost update). ``base`` also makes compaction
-    race-safe: the compacted dir replaces exactly the ``base`` entries it
-    absorbed, while a racer's unabsorbed delta survives the union (it is
-    in ``committed`` but not in ``base``)."""
-    base = base or []
+    Race semantics are STRICT compare-and-swap, the Iceberg
+    snapshot-commit loop: the commit succeeds only if the committed list
+    still equals ``expected_base`` (the list the writer derived its
+    deltas from) — checked after snapshotting the version listing, so a
+    racer that commits after the check lands on the same version number
+    and forces this writer's O_EXCL create to fail, which re-runs the
+    check — and POST-VALIDATED: after writing, the commit only counts if
+    it is still the highest committed version (readers take the highest,
+    so a superseded commit never becomes visible and must be retried).
+    Returns False on conflict; the CALLER re-reads state and recomputes
+    (merge_batch's retry loop). Name-set merging was deliberately
+    rejected: it cannot express 'compacted dir K REPLACES deltas A,B'
+    against a racer that still references A or B without duplicating
+    state rows.
+
+    Known limit, shared with every listing-based table format: two
+    writers interleaving WITHIN each other's in-flight write window can
+    in principle both pass the pre-check and post-check; fully
+    linearizing concurrent multi-writer commits on a real object store
+    requires an external CAS coordinator (an Iceberg catalog swap /
+    Delta-on-S3's DynamoDB commit service). The actual writer here is
+    the serialized foreachBatch loop — the CAS protects against stale
+    RETRIES and crashed predecessors, the documented failure modes."""
     while True:
-        committed = _committed_deltas(out_dir)
-        concurrent = [d for d in committed if d not in base and d not in deltas]
-        merged = deltas + concurrent
-        body = "\n".join(merged) + "\n" + _COMMIT_TRAILER + "\n"
         vs = _manifest_versions(out_dir)
+        if expected_base is not None and _committed_deltas(out_dir) != expected_base:
+            return False
+        body = "\n".join(deltas) + "\n" + _COMMIT_TRAILER + "\n"
         next_v = (vs[0][0] + 1) if vs else 1
         path = os.path.join(out_dir, f"{_MANIFEST_PREFIX}{next_v:012d}")
         try:
             fd = os.open(path, os.O_CREAT | os.O_EXCL | os.O_WRONLY)
         except FileExistsError:
-            continue  # lost the version race — re-read, merge, retry
+            continue  # lost the version race — re-check CAS and retry
         with os.fdopen(fd, "w") as f:
             f.write(body)
             f.flush()
             os.fsync(f.fileno())
-        return
+        return _active_manifest(out_dir)[0] == next_v
 
 
-def read_state(spark: SparkSession, out_dir: str) -> DataFrame:
-    deltas = _committed_deltas(out_dir)
+def read_state(
+    spark: SparkSession, out_dir: str, deltas: list[str] | None = None
+) -> DataFrame:
+    """State at the current committed snapshot, or at an explicit
+    ``deltas`` list (a writer's pinned base — snapshot isolation for the
+    CAS retry loop)."""
+    if deltas is None:
+        deltas = _committed_deltas(out_dir)
     if not deltas:
         return spark.createDataFrame([], STATE_SCHEMA)
     root = _delta_root(out_dir)
@@ -153,7 +175,6 @@ def merge_batch(
     import uuid
 
     os.makedirs(_delta_root(out_dir), exist_ok=True)
-    state = read_state(spark, out_dir)
     hashed = (
         batch.filter(F.col("text").isNotNull())
         .select(
@@ -161,28 +182,42 @@ def merge_batch(
             F.sha2("text", 256).alias("content_sha"),
         )
     )
-    assigned = hashed.join(state, "content_sha", "left")
-    fresh = (
-        assigned.filter(F.col("cluster_id").isNull())
-        .groupBy("content_sha")
-        .agg(F.min("doc_id").cast("long").alias("cluster_id"))
-    )
-    delta_name = f"delta_{uuid.uuid4().hex}"
-    fresh.write.mode("overwrite").parquet(os.path.join(_delta_root(out_dir), delta_name))
-    base = _committed_deltas(out_dir)
-    live = base + [delta_name]
-    if len(live) > COMPACT_THRESHOLD:
-        root = _delta_root(out_dir)
-        compacted = f"compact_{uuid.uuid4().hex}"
-        spark.read.parquet(*[os.path.join(root, d) for d in live]).coalesce(
-            max(1, spark.sparkContext.defaultParallelism // 4)
-        ).write.mode("overwrite").parquet(os.path.join(root, compacted))
-        # the compacted dir replaces exactly the `live` entries it
-        # absorbed — pass them as base so a concurrent racer's delta
-        # survives the commit-time union
-        _commit_manifest(out_dir, [compacted], base=live)
+    # optimistic-commit loop (the Iceberg pattern): pin a state snapshot,
+    # derive the fresh hashes AGAINST THAT SNAPSHOT, write the delta, and
+    # CAS-commit; on conflict re-derive against the winner's state (a
+    # racer may have claimed some of this batch's hashes — recomputation,
+    # not a name union, is what keeps one row per hash). Failed attempts
+    # leave orphan delta dirs no manifest references (GC-able).
+    for _attempt in range(8):
+        base = _committed_deltas(out_dir)
+        state = read_state(spark, out_dir, deltas=base)
+        assigned = hashed.join(state, "content_sha", "left")
+        fresh = (
+            assigned.filter(F.col("cluster_id").isNull())
+            .groupBy("content_sha")
+            .agg(F.min("doc_id").cast("long").alias("cluster_id"))
+        )
+        delta_name = f"delta_{uuid.uuid4().hex}"
+        fresh.write.mode("overwrite").parquet(
+            os.path.join(_delta_root(out_dir), delta_name)
+        )
+        live = base + [delta_name]
+        if len(live) > COMPACT_THRESHOLD:
+            root = _delta_root(out_dir)
+            compacted = f"compact_{uuid.uuid4().hex}"
+            spark.read.parquet(*[os.path.join(root, d) for d in live]).coalesce(
+                max(1, spark.sparkContext.defaultParallelism // 4)
+            ).write.mode("overwrite").parquet(os.path.join(root, compacted))
+            committed = _commit_manifest(out_dir, [compacted], expected_base=base)
+        else:
+            committed = _commit_manifest(out_dir, live, expected_base=base)
+        if committed:
+            break
     else:
-        _commit_manifest(out_dir, live, base=base)
+        raise RuntimeError(
+            "merge_batch: state commit lost the CAS race 8 times — "
+            "another writer is live on this state dir"
+        )
     out = hashed.join(read_state(spark, out_dir), "content_sha").select(
         "doc_id", "cluster_id", (F.col("doc_id") == F.col("cluster_id")).alias("keep")
     )

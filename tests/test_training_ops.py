@@ -549,24 +549,31 @@ def test_incremental_state_crash_safety(spark, tmp_path):
     assert "delta_partial_garbage" not in inc._committed_deltas(out)
 
 
-def test_manifest_race_merges_concurrent_deltas(tmp_path):
-    """Version-race loser must not drop the winner's delta (lost update):
-    the commit loop re-reads the committed list and unions concurrent
-    additions; compaction replaces only the deltas it absorbed."""
+def test_manifest_cas_rejects_stale_commits(tmp_path):
+    """The commit protocol is strict compare-and-swap: a writer whose
+    base list went stale gets a REJECTED commit (returns False, state
+    untouched) instead of a name-set merge — the merge cannot express
+    'compacted dir replaces absorbed deltas' under races without
+    duplicating state rows, so conflicts force recomputation instead."""
     import finddup_spark.streaming.incremental as inc
 
     out = str(tmp_path / "race")
     os.makedirs(out)
-    inc._commit_manifest(out, ["A"])
+    assert inc._commit_manifest(out, ["A"], expected_base=[])
     # W1 (based on [A]) appends B and commits first
-    inc._commit_manifest(out, ["A", "B"], base=["A"])
-    # W2 also based on [A], appends C — its commit must keep B
-    inc._commit_manifest(out, ["A", "C"], base=["A"])
-    assert set(inc._committed_deltas(out)) == {"A", "B", "C"}
+    assert inc._commit_manifest(out, ["A", "B"], expected_base=["A"])
+    # W2 also based on [A]: stale — must be rejected with state unchanged
+    assert not inc._commit_manifest(out, ["A", "C"], expected_base=["A"])
+    assert inc._committed_deltas(out) == ["A", "B"]
+    # W2 retries against the current base and wins
+    assert inc._commit_manifest(out, ["A", "B", "C"], expected_base=["A", "B"])
 
-    # compaction race: compactor absorbed [A, B] into K while C stays
-    inc._commit_manifest(out, ["K"], base=["A", "B"])
-    assert set(inc._committed_deltas(out)) == {"K", "C"}
+    # stale compaction (absorbed [A, B] only) is rejected the same way
+    assert not inc._commit_manifest(out, ["K"], expected_base=["A", "B"])
+    assert inc._committed_deltas(out) == ["A", "B", "C"]
+    # fresh compaction of the full committed list succeeds
+    assert inc._commit_manifest(out, ["K"], expected_base=["A", "B", "C"])
+    assert inc._committed_deltas(out) == ["K"]
 
 
 def test_ivf_topk_recall_vs_brute_force(spark, sf0001):
