@@ -11,6 +11,7 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
+from pyspark.sql.window import Window
 
 from ..config import DEFAULT_CONFIG, DedupConfig
 from ..functions.signatures import compute_signatures, explode_bands
@@ -290,16 +291,19 @@ def embedding_lsh_edges(
     DISTINCT vectors only (also shrinking hot buckets by the exact-dup
     ratio), and a member-to-member near-pair across groups is found iff
     its rep-to-rep pair is — the cosines are identical."""
-    from pyspark.sql.window import Window
-
     from .simsearch import cosine_expr, hyperplane_buckets, with_norm
 
     # ONE shuffle keyed on the vector (a window min, not groupBy + join
     # back — that exchanged the full float vectors twice); a pathological
     # identical-vector flood lands in one partition's window but the work
-    # there is a linear min, not a sort-to-pair blowup
+    # there is a linear min, not a sort-to-pair blowup. NULL vectors are
+    # dropped FIRST: window partitioning groups all NULLs together (unlike
+    # the equi-join this replaced, where a NULL key matched nothing), and
+    # rows without an embedding must contribute no edges. Bitwise-
+    # identical vectors containing NaN still collapse — identical bytes
+    # are a duplicate by this operator's contract.
     wv = Window.partitionBy(vec_col)
-    ids = embeddings.select(
+    ids = embeddings.filter(F.col(vec_col).isNotNull()).select(
         F.col(id_col).cast("long").alias(id_col), F.col(vec_col).alias(vec_col)
     ).withColumn("rep", F.min(id_col).over(wv))
     star0 = ids.filter(F.col(id_col) != F.col("rep")).select(
@@ -375,19 +379,26 @@ def cross_modal_dedup(
     ``oracle_guard=True`` asserts NEITHER tier star-truncated a hot
     bucket — the precondition for the exhaustive union-edge SQL oracle.
     """
-    # exact-text collapse: one representative doc per sha256(text)
-    hashed = docs.select(
-        F.col(id_col).cast("long").alias(id_col),
-        F.sha2(F.col(text_col), 256).alias("__h"),
+    # exact-text collapse: one representative doc per sha256(text) — the
+    # same one-shuffle window-min idiom as the vector collapse (and
+    # exact.py's cluster window); NULL texts dropped first so they emit
+    # no edges
+    wh = Window.partitionBy("__h")
+    hashed = (
+        docs.filter(F.col(text_col).isNotNull())
+        .select(
+            F.col(id_col).cast("long").alias(id_col),
+            F.sha2(F.col(text_col), 256).alias("__h"),
+        )
+        .withColumn("rep", F.min(id_col).over(wh))
     )
-    treps = hashed.groupBy("__h").agg(F.min(id_col).alias("rep"))
-    text_star = (
-        hashed.join(treps, "__h")
-        .filter(F.col(id_col) != F.col("rep"))
-        .select(F.col("rep").alias("src"), F.col(id_col).alias("dst"))
+    text_star = hashed.filter(F.col(id_col) != F.col("rep")).select(
+        F.col("rep").alias("src"), F.col(id_col).alias("dst")
     )
     rep_docs = docs.join(
-        treps.select(F.col("rep").alias(id_col)), id_col, "left_semi"
+        hashed.filter(F.col(id_col) == F.col("rep")).select(id_col),
+        id_col,
+        "left_semi",
     )
 
     sigs = compute_signatures(

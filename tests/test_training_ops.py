@@ -311,6 +311,21 @@ def test_simhash_skewed_corpus_bounded_pairs(spark):
     assert hot == 1
 
 
+def test_embedding_lsh_dedup_null_vectors_stay_singletons(spark):
+    """Rows with a NULL embedding must contribute NO edges — the window
+    collapse groups all NULLs into one partition, so without the
+    isNotNull filter unrelated docs with missing embeddings would merge
+    into one cos=1.0 cluster."""
+    from finddup_spark.operators.dedup import embedding_lsh_dedup
+
+    rng = np.random.default_rng(13)
+    rows = [(0, None), (1, None), (2, [float(x) for x in rng.standard_normal(8)])]
+    emb = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    out = embedding_lsh_dedup(emb, dim=8, threshold=0.95).toPandas()
+    got = dict(zip(out.vec_id, out.cluster_id))
+    assert got == {0: 0, 1: 1, 2: 2}
+
+
 def test_embedding_lsh_dedup_identical_flood_collapsed(spark):
     """An exact-dup flood (hundreds of bitwise-identical vectors) must be
     collapsed to one representative BEFORE bucketing: no hot bucket
