@@ -238,6 +238,26 @@ def q_embedding_lsh_dedup(spark, sf_dir: str) -> int:
     return embedding_lsh_dedup(emb, dim=dim, threshold=0.95).count()
 
 
+def q_cross_modal_dedup(spark, sf_dir: str) -> int:
+    from pyspark.sql import functions as F
+
+    from finddup_spark.operators.dedup import cross_modal_dedup
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").select("doc_id", "text")
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet").select(
+        "vec_id", "embedding"
+    )
+    dim = len(emb.select("embedding").first()[0])
+    return cross_modal_dedup(docs, emb, dim=dim).count()
+
+
+def q_boilerplate(spark, sf_dir: str) -> int:
+    from finddup_spark.operators.boilerplate import boilerplate_ratio
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    return boilerplate_ratio(docs, k=5).count()
+
+
 def run_bench(sf_dir: str, cores: int, only: str | None = None,
               pages_path: str | None = None, warmup: bool = True,
               shuffle_partitions: int | None = None) -> dict:
@@ -304,6 +324,8 @@ def run_bench(sf_dir: str, cores: int, only: str | None = None,
         "ann_topk": lambda: q_ann(spark, sf_dir),
         "lsh_topk": lambda: q_lsh_topk(spark, sf_dir),
         "embedding_lsh_dedup": lambda: q_embedding_lsh_dedup(spark, sf_dir),
+        "cross_modal_dedup": lambda: q_cross_modal_dedup(spark, sf_dir),
+        "boilerplate_ratio": lambda: q_boilerplate(spark, sf_dir),
     }
     if only:
         queries = {k: v for k, v in queries.items() if k in only.split(",")}
