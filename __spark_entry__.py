@@ -32,6 +32,21 @@ def _emb(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.read.parquet(f"{sf_dir}/embeddings.parquet")
 
 
+#: sf_dir -> embedding dim. The array<float> parquet schema does not carry
+#: the dim, so it costs one tiny .first() probe — cached so the three
+#: embedding queries share a single driver round-trip per corpus instead of
+#: probing once each (round-3 VERDICT cleanup #6).
+_EMB_DIM_CACHE: dict[str, int] = {}
+
+
+def _emb_dim(spark: SparkSession, sf_dir: str) -> int:
+    if sf_dir not in _EMB_DIM_CACHE:
+        _EMB_DIM_CACHE[sf_dir] = len(
+            _emb(spark, sf_dir).select("embedding").first()[0]
+        )
+    return _EMB_DIM_CACHE[sf_dir]
+
+
 # ---------------------------------------------------------------------------
 # flagship
 # ---------------------------------------------------------------------------
@@ -385,7 +400,7 @@ def _q_embedding_lsh_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     emb = _emb(spark, sf_dir).select("vec_id", "embedding")
     maxv = int(emb.agg(F.max("vec_id")).collect()[0][0])
-    dim = len(emb.select("embedding").first()[0])
+    dim = _emb_dim(spark, sf_dir)
     copies = emb.filter(
         (F.pmod("vec_id", 10) == 0) & (F.col("vec_id") <= maxv - 100)
     ).select((F.lit(2 * maxv + 2) - F.col("vec_id")).alias("vec_id"), "embedding")
@@ -464,7 +479,7 @@ def _q_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     from finddup_spark.operators.simsearch import lsh_topk
 
     emb = _emb(spark, sf_dir)
-    dim = len(emb.select("embedding").first()[0])
+    dim = _emb_dim(spark, sf_dir)
     if dim != _LSH_ORACLE_DIM:
         # the oracle's hyperplane literals are generated for this dim —
         # diverge LOUDLY instead of silently hashing different buckets
@@ -742,7 +757,7 @@ def _q_cross_modal_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     j = docs.join(emb, docs.doc_id == emb.vec_id).select(
         "doc_id", "text", "embedding"
     )
-    dim = len(emb.select("embedding").first()[0])
+    dim = _emb_dim(spark, sf_dir)
     a = j.filter(F.pmod("doc_id", 9) == 0).select(
         (F.col("doc_id") + off).alias("doc_id"),
         "text",
@@ -925,10 +940,10 @@ WITH base AS (
   SELECT doc_id, text,
          length(text) AS L,
          CASE WHEN length(trim(text)) = 0 THEN 0
-              ELSE length(string_split_regex(trim(text), '\s+')) END AS n_tokens,
-         length(regexp_replace(text, '[^\p{L}\p{N}\s]', '', 'g')) AS l_nopunct,
+              ELSE length(string_split_regex(trim(text), '[ \t\n\x0b\f\r]+')) END AS n_tokens,
+         length(regexp_replace(text, '[^\p{L}\p{N} \t\n\x0b\f\r]', '', 'g')) AS l_nopunct,
          length(regexp_replace(text, '[0-9]', '', 'g')) AS l_nodigit,
-         length(regexp_replace(text, '\s+', '', 'g')) AS l_nospace
+         length(regexp_replace(text, '[ \t\n\x0b\f\r]+', '', 'g')) AS l_nospace
   FROM documents
 ), ev AS (
   SELECT doc_id,
@@ -942,7 +957,7 @@ WITH base AS (
   SELECT b.doc_id,
          CAST(b.n_tokens AS BIGINT) AS n_tokens,
          CAST(ceil(b.L / 4.0) AS BIGINT) AS n_subtokens,
-         CAST(length(regexp_extract_all(b.text, '\p{L}+|\p{N}+|[^\s\p{L}\p{N}]+'))
+         CAST(length(regexp_extract_all(b.text, '\p{L}+|\p{N}+|[^ \t\n\x0b\f\r\p{L}\p{N}]+'))
               AS BIGINT) AS n_bpe_tokens,
          round(CASE WHEN b.n_tokens > 0 THEN b.l_nospace * 1.0 / b.n_tokens ELSE 0.0 END, 6) AS mean_token_len,
          round(CASE WHEN b.L > 0 THEN (b.L - b.l_nopunct) * 1.0 / b.L ELSE 0.0 END, 6) AS punct_ratio,
@@ -950,7 +965,7 @@ WITH base AS (
          CASE WHEN b.n_tokens > 0 THEN b.l_nospace * 1.0 / b.n_tokens ELSE 0.0 END AS mt,
          CASE WHEN b.L > 0 THEN (b.L - b.l_nopunct) * 1.0 / b.L ELSE 0.0 END AS pr,
          CASE WHEN b.L > 0 THEN (b.L - b.l_nodigit) * 1.0 / b.L ELSE 0.0 END AS dr,
-         sha256(trim(regexp_replace(lower(b.text), '\s+', ' ', 'g'))) AS fingerprint
+         sha256(trim(regexp_replace(lower(b.text), '[ \t\n\x0b\f\r]+', ' ', 'g'))) AS fingerprint
   FROM base b
 )
 SELECT s.doc_id,
@@ -1193,7 +1208,7 @@ def oracle_sql() -> dict[str, str]:
         "token_jaccard": r"""
             WITH toks AS (
               SELECT doc_id, lang,
-                     list_distinct(string_split_regex(text, '\s+')) AS t
+                     list_distinct(string_split_regex(text, '[ \t\n\x0b\f\r]+')) AS t
               FROM documents
             )
             SELECT a.doc_id AS src, b.doc_id AS dst,

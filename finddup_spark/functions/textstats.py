@@ -15,13 +15,22 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
+#: Explicit whitespace class shared by the Spark expressions and the DuckDB
+#: oracle SQL: Java regex ``\s`` includes vertical tab ``\x0b`` while RE2's
+#: does not, so a bare ``\s`` in a regex both engines run is a latent parity
+#: break on any text containing ``\x0b``. This class means the same bytes on
+#: both engines (and matches Java's default ``\s`` exactly).
+WS_CLASS = r" \t\n\x0b\f\r"
+_WS1 = rf"[{WS_CLASS}]"
+_WSP = rf"[{WS_CLASS}]+"
+
 
 def token_count(text: str | Column = "text") -> Column:
     """Whitespace token count (0 for empty)."""
     c = F.col(text) if isinstance(text, str) else text
     trimmed = F.trim(c)
     return F.when(F.length(trimmed) == 0, F.lit(0)).otherwise(
-        F.size(F.split(trimmed, r"\s+"))
+        F.size(F.split(trimmed, _WSP))
     ).cast("long")
 
 
@@ -42,13 +51,15 @@ def bpe_token_count(text: str | Column = "text") -> Column:
     DuckDB-oracle-able."""
     c = F.col(text) if isinstance(text, str) else text
     return F.size(
-        F.regexp_extract_all(c, F.lit(r"\p{L}+|\p{N}+|[^\s\p{L}\p{N}]+"), 0)
+        F.regexp_extract_all(
+            c, F.lit(rf"\p{{L}}+|\p{{N}}+|[^{WS_CLASS}\p{{L}}\p{{N}}]+"), 0
+        )
     ).cast("long")
 
 
 def punct_ratio(text: str | Column = "text") -> Column:
     c = F.col(text) if isinstance(text, str) else text
-    stripped = F.regexp_replace(c, r"[^\p{L}\p{N}\s]", "")
+    stripped = F.regexp_replace(c, rf"[^\p{{L}}\p{{N}}{WS_CLASS}]", "")
     return F.when(F.length(c) > 0,
                   (F.length(c) - F.length(stripped)) / F.length(c)).otherwise(F.lit(0.0))
 
@@ -62,7 +73,7 @@ def digit_ratio(text: str | Column = "text") -> Column:
 def mean_token_len(text: str | Column = "text") -> Column:
     c = F.col(text) if isinstance(text, str) else text
     n = token_count(c)
-    no_space = F.length(F.regexp_replace(c, r"\s+", ""))
+    no_space = F.length(F.regexp_replace(c, _WSP, ""))
     return F.when(n > 0, no_space / n).otherwise(F.lit(0.0))
 
 
@@ -117,7 +128,7 @@ def doc_fingerprint(text: str | Column = "text") -> Column:
     """Normalized content fingerprint: lowercase, collapse whitespace,
     sha256 — stable across trivial reformatting."""
     c = F.col(text) if isinstance(text, str) else text
-    norm = F.trim(F.regexp_replace(F.lower(c), r"\s+", " "))
+    norm = F.trim(F.regexp_replace(F.lower(c), _WSP, " "))
     return F.sha2(norm, 256)
 
 

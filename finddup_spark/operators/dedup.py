@@ -47,8 +47,13 @@ def minhash_dedup(
     verified pair sits near the threshold where a band miss is even
     conceivable (at b=32, r=4 the miss probability for a pair AT
     s=verify_jaccard=0.8 is (1-0.8^4)^32 ≈ 5e-8 and falls doubly
-    exponentially above it). The guard fails the query loudly if either
-    precondition breaks on a future corpus instead of letting the hash
+    exponentially above it). Check (b) is a STATISTICAL CANARY, not a
+    precondition proof: it scans the pairs banding DID surface, so a
+    near-threshold pair that banding itself missed is invisible to it —
+    but such a pair is both found AND trips the canary with probability
+    ≈ 1 - 5e-8, so a corpus whose pair-similarity distribution drifts
+    toward the threshold fails loudly long before a silent miss is
+    likely. The guard fails the query instead of letting the hash
     comparison silently diverge."""
     sigs = compute_signatures(docs, cfg, id_col=id_col, text_col=text_col).persist()
     caches: list = [sigs]
@@ -115,6 +120,13 @@ def simhash_dedup(
         sigs, hamming_radius=hamming_radius, cfg=cfg, cache_handles=caches,
         return_stats=True,
     )
+    cl = connected_components(
+        cand.select("src", "dst"), vertices=docs.select(F.col(id_col).alias("doc_id"))
+    )
+    # stats AFTER CC (which runs its actions eagerly): the bucket table the
+    # stats aggregate over is cache-warm by now, so this is a cheap cached
+    # scan, not the standalone upfront job that cost the round-3 bench +39%
+    # on this query — still no silent caps, the WARNING fires either way
     srow = stats.collect()[0]
     if (srow["hot_buckets"] or 0) > 0:
         logging.getLogger(__name__).warning(
@@ -124,9 +136,6 @@ def simhash_dedup(
             srow["hot_buckets"], srow["max_bucket"],
             srow["pairs_truncated_upper_bound"],
         )
-    cl = connected_components(
-        cand.select("src", "dst"), vertices=docs.select(F.col(id_col).alias("doc_id"))
-    )
     for h in caches:
         h.unpersist()
     return cl.select(
@@ -153,7 +162,9 @@ def token_jaccard_pairs(
     toks = docs.select(
         F.col(id_col),
         F.col(block_col).alias("block"),
-        F.array_distinct(F.split(F.col(text_col), r"\s+")).alias("toks"),
+        # explicit whitespace class (not \s): Java's \s includes \x0b,
+        # RE2's (the DuckDB oracle's) does not — see textstats.WS_CLASS
+        F.array_distinct(F.split(F.col(text_col), r"[ \t\n\x0b\f\r]+")).alias("toks"),
     )
     # the id-gap bound is part of the JOIN KEY, not a post-join filter:
     # bucket = floor(id / gap); a pair within the gap lands in the same or

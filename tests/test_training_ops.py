@@ -614,3 +614,45 @@ def test_ivf_topk_recall_vs_brute_force(spark, sf0001):
     assert recalls[2] >= 0.2, recalls
     assert recalls[2] <= recalls[4] <= recalls[16], recalls
     assert recalls[16] == 1.0, recalls  # probe-all == exhaustive
+
+
+def test_textstats_vertical_tab_parity(spark):
+    """Engine/oracle whitespace parity on \\x0b (ADVICE r3): Java's \\s
+    includes vertical tab while RE2's (DuckDB's) does not, so both sides
+    now use the explicit class [ \\t\\n\\x0b\\f\\r]. A corpus containing
+    \\x0b must produce identical token stats on both engines."""
+    import duckdb
+
+    import __spark_entry__ as entrymod
+
+    pdf = pd.DataFrame(
+        {
+            "doc_id": pd.Series([0, 1, 2, 3], dtype="int64"),
+            "text": [
+                "a\x0bb c",            # vertical tab as separator
+                "x\x0b\x0by! 9 z",     # doubled \x0b + punct + digit
+                "enw1 enw2 plain",     # no \x0b control row
+                "tab\there\x0bmix\r\nand more",
+            ],
+        }
+    )
+    docs = spark.createDataFrame(pdf)
+    eng = (
+        text_stats(docs).toPandas().sort_values("doc_id").reset_index(drop=True)
+    )
+    con = duckdb.connect()
+    con.register("documents", pdf)
+    ora = (
+        con.execute(entrymod._TOKEN_STATS_SQL)
+        .fetchdf()
+        .sort_values("doc_id")
+        .reset_index(drop=True)
+    )
+    # the whitespace-affected columns must agree exactly (floats to 6dp)
+    for col in ("n_tokens", "n_bpe_tokens", "fingerprint", "lang_guess"):
+        assert list(eng[col]) == list(ora[col]), col
+    for col in ("mean_token_len", "punct_ratio", "digit_ratio", "quality"):
+        assert np.allclose(eng[col], ora[col], atol=1e-6), col
+    # and \x0b genuinely splits tokens (guards against a class typo that
+    # silently stops matching anything)
+    assert int(eng.loc[0, "n_tokens"]) == 3
