@@ -53,9 +53,19 @@ class DedupConfig:
     winnow_gram: int = 64
     winnow_window: int = 449
     # skew handling (SURVEY.md §4 P5): buckets above this cardinality use the
-    # salted/star pairing path instead of the all-pairs self-join.
+    # salted pairing path instead of the whole-bucket all-pairs self-join.
     hot_bucket_cap: int = 64
+    # salt shard count floor; the effective count ADAPTS per bucket to
+    # ceil(bucket_size / hot_bucket_cap) so expected shard width stays
+    # ~hot_bucket_cap, capped at max_salt_shards to bound the rep clique.
     salt_shards: int = 16
+    max_salt_shards: int = 1024
+    # within a salt shard, members pair ALL-PAIRS while the shard is at most
+    # this wide (bounded: expected width is ~hot_bucket_cap) — the round-3
+    # within-shard star policy lost near-dup pairs whose shard rep was
+    # dissimilar; beyond this width (a >cap*max_shards mega-bucket) the
+    # shard falls back to the star and the loss is counted in the stats.
+    shard_allpairs_cap: int = 256
     # progressive-prefix cheap key length (SURVEY.md §4 P2; reference 256 B
     # first-pass read, finddup.py:428).
     prefix_key_len: int = 256

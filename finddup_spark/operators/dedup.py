@@ -219,9 +219,10 @@ def embedding_lsh_dedup(
     The generalization of the text tier's J1 self-join (lsh.py:44-132,
     reference ``finddup.py:199-236``) to vectors: sign-sketch buckets from
     :func:`~finddup_spark.operators.simsearch.hyperplane_buckets` are fed
-    through the SAME salted star+clique pair generator the MinHash tier
-    uses (``candidate_pairs``), so hot buckets (a flood of identical or
-    near-zero vectors) emit O(n) star edges instead of O(n²) pairs, with
+    through the SAME salted pair generator the MinHash tier uses
+    (``candidate_pairs``): hot buckets (a flood of identical or
+    near-zero vectors) emit bounded within-shard all-pairs plus a rep
+    clique — O(n·hot_bucket_cap) edges instead of O(n²) — with
     truncation stats logged — then candidates are verified with the exact
     JVM-side cosine and resolved by CC. No N×N anywhere: the only joins
     are equi joins on (table, bucket) and on vec_id.

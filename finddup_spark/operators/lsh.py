@@ -10,12 +10,17 @@ handling:
 - buckets with |members| <= ``cfg.hot_bucket_cap``: plain all-pairs
   equi self-join on (band_id, band_hash) — the exact candidate set;
 - hot buckets (boilerplate pages, giant exact-dup groups): **salted** —
-  the bucket key is extended with ``salt = xxhash64(doc_id) % s`` to
-  bound partition width, each member pairs with its shard minimum
-  (star), shard minima pair all-pairs within the bucket (<= s²/2 per
-  bucket). O(n) edges per hot bucket instead of O(n²), connectivity
-  preserved for true clusters; the policy difference vs the exhaustive
-  oracle is logged, never silent.
+  the bucket key is extended with ``salt = xxhash64(doc_id) % s`` where
+  s adapts to ceil(bucket_size / hot_bucket_cap) (floor
+  ``cfg.salt_shards``, ceiling ``cfg.max_salt_shards``), keeping the
+  expected shard width ~hot_bucket_cap. Within each shard members pair
+  ALL-PAIRS (O(n·cap) per bucket — the round-3 within-shard star lost a
+  near-dup pair whenever its shard rep was dissimilar); shard minima
+  pair all-pairs across shards (rep clique, <= C(max_salt_shards, 2)
+  per bucket). Only a shard wider than ``cfg.shard_allpairs_cap`` (a
+  mega-bucket beyond cap·max_shards members) degrades to the star, and
+  that residual loss — plus cross-shard non-rep pairs, the only other
+  coverage gap — is counted in the returned stats, never silent.
 
 Verification computes the EXACT shingle Jaccard by re-shingling the two
 candidate texts per Arrow batch (vectorized numpy — see
@@ -79,15 +84,46 @@ def candidate_pairs(
         .select("src", "dst")
     )
 
-    # ---- hot buckets: salted star + representative clique (P5) ----
-    salted = hot.withColumn(
-        "salt", F.pmod(F.xxhash64("doc_id"), F.lit(cfg.salt_shards))
+    # ---- hot buckets: adaptive salt + within-shard all-pairs + rep clique ----
+    # shard count adapts per bucket so expected shard width stays
+    # ~hot_bucket_cap: total within-shard pair work is O(n * cap) per
+    # bucket (linear in n with a constant-width factor), and the rep
+    # clique is bounded by C(max_salt_shards, 2). No new exchange: hot
+    # rows keep keyed's (band_id, band_hash) partitioning, which
+    # satisfies the (band_id, band_hash, salt) window's clustering.
+    n_shards = F.least(
+        F.lit(cfg.max_salt_shards),
+        F.greatest(
+            F.lit(cfg.salt_shards),
+            F.ceil(F.col("bucket_size") / F.lit(cfg.hot_bucket_cap)),
+        ),
     )
+    wsh = Window.partitionBy("band_id", "band_hash", "salt")
+    salted = hot.withColumn(
+        "salt", F.pmod(F.xxhash64("doc_id"), n_shards)
+    ).withColumn("shard_size", F.count(F.lit(1)).over(wsh))
+
+    # within-shard ALL-PAIRS for shards of bounded width — this is what
+    # recovers the round-3 within-shard near-dup recall gap (a non-rep
+    # pair in one shard now meets directly instead of via a possibly
+    # dissimilar shard rep)
+    ap = salted.filter(F.col("shard_size") <= cfg.shard_allpairs_cap)
+    sa = ap.select("band_id", "band_hash", "salt", F.col("doc_id").alias("src"))
+    sb = ap.select("band_id", "band_hash", "salt", F.col("doc_id").alias("dst"))
+    pairs_shard = (
+        sa.join(sb, ["band_id", "band_hash", "salt"])
+        .filter(F.col("src") < F.col("dst"))
+        .select("src", "dst")
+    )
+
+    # star fallback only for a shard wider than the all-pairs cap (a
+    # mega-bucket beyond ~cap*max_shards members); its loss is counted
     shard_min = salted.groupBy("band_id", "band_hash", "salt").agg(
         F.min("doc_id").alias("rep")
     )
-    star = (
-        salted.join(shard_min, ["band_id", "band_hash", "salt"])
+    star_over = (
+        salted.filter(F.col("shard_size") > cfg.shard_allpairs_cap)
+        .join(shard_min, ["band_id", "band_hash", "salt"])
         .filter(F.col("doc_id") != F.col("rep"))
         .select(F.col("rep").alias("src"), F.col("doc_id").alias("dst"))
     )
@@ -100,7 +136,8 @@ def candidate_pairs(
     )
 
     pairs = (
-        pairs_small.unionByName(star)
+        pairs_small.unionByName(pairs_shard)
+        .unionByName(star_over)
         .unionByName(rep_clique)
         .select(
             F.least("src", "dst").alias("src"),
@@ -110,25 +147,49 @@ def candidate_pairs(
     )
 
     # per-bucket rows for the skew stats (runs once, over the persisted
-    # keyed table, in the caller's stats.collect() job)
+    # keyed table, in the caller's stats.collect() job).
+    # pairs_truncated_upper_bound counts only pairs with NO direct
+    # candidate: per hot bucket, C(n,2) minus within-shard coverage
+    # (all-pairs or star) minus the cross-shard rep clique — with every
+    # shard under the all-pairs cap this is exactly the cross-shard
+    # non-rep pairs (which can still connect transitively through reps).
     sizes = keyed.select("band_id", "band_hash", "bucket_size").dropDuplicates(
         ["band_id", "band_hash"]
     )
-    stats = (
-        sizes.agg(
-            F.count(F.lit(1)).alias("n_buckets"),
-            F.sum(F.when(F.col("bucket_size") > cfg.hot_bucket_cap, 1).otherwise(0)).alias("hot_buckets"),
-            F.max("bucket_size").alias("max_bucket"),
+    overall = sizes.agg(
+        F.count(F.lit(1)).alias("n_buckets"),
+        F.coalesce(
             F.sum(
-                F.when(
-                    F.col("bucket_size") > cfg.hot_bucket_cap,
-                    # pairs skipped vs exhaustive: C(n,2) - (n-1) - C(s,2)-ish
-                    (F.col("bucket_size") * (F.col("bucket_size") - 1) / 2
-                     - (F.col("bucket_size") - 1)),
-                ).otherwise(0)
-            ).cast("long").alias("pairs_truncated_upper_bound"),
-        )
+                F.when(F.col("bucket_size") > cfg.hot_bucket_cap, 1).otherwise(0)
+            ),
+            F.lit(0),
+        ).alias("hot_buckets"),
+        F.max("bucket_size").alias("max_bucket"),
     )
+    shard_sizes = salted.groupBy("band_id", "band_hash", "salt").agg(
+        F.count(F.lit(1)).alias("w")
+    )
+    w = F.col("w")
+    per_bucket = shard_sizes.groupBy("band_id", "band_hash").agg(
+        F.sum(w).alias("n"),
+        F.count(F.lit(1)).alias("s"),
+        F.sum(
+            F.when(w <= cfg.shard_allpairs_cap, w * (w - 1) / 2).otherwise(w - 1)
+        ).alias("covered_within"),
+    )
+    trunc = per_bucket.agg(
+        F.coalesce(
+            F.sum(
+                F.col("n") * (F.col("n") - 1) / 2
+                - F.col("covered_within")
+                - F.col("s") * (F.col("s") - 1) / 2
+            ),
+            F.lit(0),
+        )
+        .cast("long")
+        .alias("pairs_truncated_upper_bound")
+    )
+    stats = overall.crossJoin(trunc)
     return pairs, stats
 
 
@@ -254,8 +315,8 @@ def simhash_candidate_pairs(
        round-2 gap where close non-rep members of a mixed hot bucket could
        be silently disconnected.
     2. **Chunk blocking over DISTINCT fingerprints only**, routed through
-       :func:`candidate_pairs` (the same salted star+clique path the
-       MinHash tier uses) and Hamming-verified here. Because each rep
+       :func:`candidate_pairs` (the same salted within-shard-all-pairs +
+       rep-clique path the MinHash tier uses) and Hamming-verified here. Because each rep
        carries its whole group (edge of Hamming 0), a member-to-member
        near-pair across groups is found iff its rep-to-rep pair is — the
        Hamming distances are identical. The only residual recall loss is a

@@ -88,9 +88,19 @@ def test_cluster_id_is_min_member(fuzzy):
 
 
 def test_hot_bucket_salting_preserves_connectivity(spark, tiny_corpus):
-    """Force every dup bucket through the salted path (cap=2) — true
-    clusters must stay connected; truncation must be reported."""
-    cfg = replace(DEFAULT_CONFIG, hot_bucket_cap=2, salt_shards=4)
+    """Force every dup bucket through the salted path (cap=2) AND force
+    the within-shard star fallback (shard_allpairs_cap=1, the round-3
+    policy) — true clusters must stay connected; truncation must be
+    reported. The all-pairs default (which drives truncation to
+    cross-shard-only) is covered by
+    test_hot_bucket_within_shard_allpairs_recall."""
+    cfg = replace(
+        DEFAULT_CONFIG,
+        hot_bucket_cap=2,
+        salt_shards=4,
+        max_salt_shards=4,
+        shard_allpairs_cap=1,
+    )
     pages = load_pages(spark, tiny_corpus[0])
     sigs = compute_signatures(pages, cfg).cache()
     pairs, stats = candidate_pairs(explode_bands(sigs, cfg), cfg)
@@ -215,3 +225,95 @@ def test_star_cc_singleton_vertices(spark):
     out = connected_components_star(edges, vertices=verts).toPandas()
     got = dict(zip(out.doc_id, out.cluster_id))
     assert got == {1: 1, 2: 1, 7: 7}
+
+
+def test_hot_bucket_within_shard_allpairs_recall(spark):
+    """Round-3 recall gap, closed: a NEAR-(not exact-)dup pair inside a
+    >hot_bucket_cap MIXED bucket (near-dups sharing a bucket with a
+    dissimilar flood) must be recovered at the verify threshold —
+    within-shard pairs directly by the new within-shard all-pairs,
+    shard-minimum pairs by the rep clique — and the truncation upper
+    bound must count ONLY cross-shard non-rep pairs. The old
+    within-shard star (shard_allpairs_cap=1) provably loses the
+    within-shard pair on the same input."""
+    cfg = replace(
+        DEFAULT_CONFIG, hot_bucket_cap=8, salt_shards=4, max_salt_shards=4
+    )
+    n_sh = 4  # bucket is hot and > 8*4 / cap clamps to max_salt_shards
+
+    # deterministic salt of every candidate id under the engine's rule
+    probe = spark.range(0, 2000).select(
+        F.col("id").cast("long").alias("doc_id"),
+        F.pmod(F.xxhash64(F.col("id").cast("long")), F.lit(n_sh)).alias("salt"),
+    ).toPandas()
+    salt = dict(zip(probe.doc_id, probe.salt))
+
+    flood_ids = list(range(100, 140))  # 40 dissimilar docs, ids BELOW family A
+    # every shard must contain a flood member (so family-A members are
+    # never shard minima — the adversarial placement)
+    assert {salt[i] for i in flood_ids} == set(range(n_sh))
+
+    # family A: two near-dup variants in the SAME shard, ids above the
+    # flood → neither is its shard's minimum (round-3 star lost this pair)
+    a1 = next(i for i in range(1000, 2000) if True)
+    a2 = next(i for i in range(a1 + 1, 2000) if salt[i] == salt[a1])
+    # family B: two near-dup variants in DIFFERENT shards, ids below the
+    # flood → each IS its shard's minimum, recovered by the rep clique
+    b1 = 1
+    b2 = next(i for i in range(2, 99) if salt[i] != salt[b1])
+
+    def variant(base: str, v: int) -> str:
+        toks = [f"{base}{j}" for j in range(200)]
+        toks[v] = f"{base}x{v}"
+        return " ".join(toks)
+
+    rows = [(a1, variant("a", 0)), (a2, variant("a", 1)),
+            (b1, variant("b", 0)), (b2, variant("b", 1))]
+    rows += [(i, " ".join(f"f{i}_{j}" for j in range(30))) for i in flood_ids]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    all_ids = [r[0] for r in rows]
+    bands = spark.createDataFrame(
+        [(0, 0, i) for i in all_ids], "band_id int, band_hash long, doc_id long"
+    )
+
+    caches: list = []
+    pairs, stats = candidate_pairs(bands, cfg, cache_handles=caches)
+    got = {(r.src, r.dst) for r in pairs.collect()}
+    assert (min(a1, a2), max(a1, a2)) in got  # within-shard all-pairs
+    assert (min(b1, b2), max(b1, b2)) in got  # cross-shard rep clique
+
+    # verified edges: exactly the two planted near-dup pairs → recall 1.0
+    edges = {(r.src, r.dst) for r in verify_pairs(pairs, docs, cfg).collect()}
+    truth = {(min(a1, a2), max(a1, a2)), (min(b1, b2), max(b1, b2))}
+    assert edges == truth
+
+    # truncation bound is exactly the cross-shard non-rep count
+    from collections import Counter
+
+    w = Counter(salt[i] for i in all_ids)
+    n = len(all_ids)
+    expected = (
+        n * (n - 1) // 2
+        - sum(c * (c - 1) // 2 for c in w.values())
+        - len(w) * (len(w) - 1) // 2
+    )
+    st = stats.toPandas().iloc[0]
+    assert int(st.hot_buckets) == 1
+    assert int(st.pairs_truncated_upper_bound) == expected
+    # strictly better than the round-3 star bound on the same bucket
+    assert expected < n * (n - 1) // 2 - (n - 1)
+    for h in caches:
+        h.unpersist()
+
+    # regression witness: the round-3 within-shard star policy loses the
+    # within-shard pair (its shard rep is a dissimilar flood doc) while
+    # the rep-clique pair survives
+    caches2: list = []
+    star_pairs, _ = candidate_pairs(
+        bands, replace(cfg, shard_allpairs_cap=1), cache_handles=caches2
+    )
+    got_star = {(r.src, r.dst) for r in star_pairs.collect()}
+    assert (min(a1, a2), max(a1, a2)) not in got_star
+    assert (min(b1, b2), max(b1, b2)) in got_star
+    for h in caches2:
+        h.unpersist()
