@@ -15,6 +15,7 @@ identically on both sides.
 
 from __future__ import annotations
 
+import os
 from collections.abc import Callable
 
 from pyspark.sql import DataFrame, SparkSession
@@ -801,34 +802,75 @@ def _q_boilerplate_ratio(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+#: out-dirs of prior streaming_dedup invocations, removed lazily on the
+#: NEXT call (the returned DataFrame is lazy — the driver collects it
+#: after this function returns, so its backing parquet must outlive the
+#: call; src/staging dirs are removed eagerly in the finally block).
+_STREAM_TMPDIRS: list[str] = []
+
+
 def _q_streaming_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Engine-managed-state streaming dedup (applyInPandasWithState,
-    §2.9): documents flow through a file-source stream as ONE availableNow
-    micro-batch (single input file by construction), the per-content-sha
-    owner lives in the streaming state store, and the resulting
-    assignment equals the batch exact-dedup keep-list — which is exactly
-    the SQL oracle."""
+    §2.9) across TWO micro-batches over the PLANTED corpus (the sf
+    documents carry no natural byte-dups): upper-half doc_ids (doc_id >
+    max/2) arrive as batch 1, lower half as batch 2, through the SAME
+    checkpoint + state store. Every planted group is {i, i+off} with
+    i <= mid < i+off, so it spans the split and keeps its batch-1 owner
+    i+off even though batch 2 holds the strictly smaller doc_id i —
+    cross-batch first-seen-wins, the whole point of the state store,
+    exercised non-vacuously in the driver contract: a global-min oracle
+    FAILS this query on all 72 planted groups at sf0.01. Staging is
+    executor-side (``coalesce(1).write.parquet``, no driver
+    ``toPandas`` round-trip). Oracle: owner = min upper-half doc_id per
+    sha when the sha has an upper-half member, else min overall — plain
+    SQL with the split point as a scalar subquery."""
+    import glob
+    import shutil
     import tempfile
 
     from finddup_spark.streaming.stateful import stateful_streaming_dedup
 
+    while _STREAM_TMPDIRS:
+        shutil.rmtree(_STREAM_TMPDIRS.pop(), ignore_errors=True)
     src = tempfile.mkdtemp(prefix="entry_stream_src_")
     out = tempfile.mkdtemp(prefix="entry_stream_out_")
-    docs = _docs(spark, sf_dir)
-    # one input file → one micro-batch → owner = global min per sha
-    docs.toPandas().to_parquet(f"{src}/docs.parquet", index=False)
-    q = stateful_streaming_dedup(spark, src, out, schema=docs.schema)
-    finished = q.awaitTermination(300)
-    if not finished:
-        q.stop()
-        raise RuntimeError(
-            "streaming_dedup: availableNow batch did not finish in 300s"
+    stage = tempfile.mkdtemp(prefix="entry_stream_stage_")
+    try:
+        docs = _planted_docs(spark, sf_dir)
+        mid = int(docs.agg(F.max("doc_id")).collect()[0][0]) // 2
+        seen = 0
+        for i, pred in enumerate(
+            (F.col("doc_id") > mid, F.col("doc_id") <= mid)
+        ):
+            batch_dir = os.path.join(stage, f"b{i}")
+            docs.filter(pred).coalesce(1).write.mode(
+                "overwrite"
+            ).parquet(batch_dir)
+            for p in glob.glob(os.path.join(batch_dir, "part-*.parquet")):
+                os.rename(p, os.path.join(src, os.path.basename(p)))
+            q = stateful_streaming_dedup(spark, src, out, schema=docs.schema)
+            if not q.awaitTermination(300):
+                q.stop()
+                raise RuntimeError(
+                    f"streaming_dedup: availableNow pass {i} did not "
+                    "finish in 300s"
+                )
+            n = spark.read.parquet(f"{out}/assignments").count()
+            if n <= seen:
+                raise RuntimeError(
+                    f"streaming_dedup: pass {i} appended no assignments "
+                    f"({n} <= {seen}) — expected one micro-batch per pass"
+                )
+            seen = n
+        return spark.read.parquet(f"{out}/assignments").select(
+            F.col("doc_id").cast("long").alias("doc_id"),
+            F.col("cluster_id").cast("long").alias("cluster_id"),
+            "keep",
         )
-    return spark.read.parquet(f"{out}/assignments").select(
-        F.col("doc_id").cast("long").alias("doc_id"),
-        F.col("cluster_id").cast("long").alias("cluster_id"),
-        "keep",
-    )
+    finally:
+        shutil.rmtree(stage, ignore_errors=True)
+        shutil.rmtree(src, ignore_errors=True)
+        _STREAM_TMPDIRS.append(out)
 
 
 def _q_winnow_planted(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1663,14 +1705,31 @@ def oracle_sql() -> dict[str, str]:
             FROM sh LEFT JOIN bp ON sh.s = bp.s
             GROUP BY sh.doc_id
         """,
-        "streaming_dedup": """
-            WITH g AS (
-                SELECT sha256(text) AS h, CAST(min(doc_id) AS BIGINT) AS cluster_id
-                FROM documents GROUP BY 1
+        "streaming_dedup": f"""
+            -- two micro-batches through one state store over the
+            -- PLANTED corpus: upper-half doc_ids first, lower half
+            -- second — first-seen-wins means a sha with any upper-half
+            -- member is owned by its min UPPER-half doc_id (larger
+            -- than every lower-half member, so a global-min oracle
+            -- would fail); a batch-2-only sha by its min overall
+            WITH p AS ({_PLANTED_SQL}),
+            m AS (SELECT max(doc_id) // 2 AS mid FROM p),
+            h AS (
+                SELECT doc_id, sha256(text) AS hsh FROM p
+                WHERE text IS NOT NULL
+            ),
+            o AS (
+                SELECT hsh,
+                       CAST(coalesce(
+                           min(CASE WHEN doc_id > (SELECT mid FROM m)
+                                    THEN doc_id END),
+                           min(doc_id)
+                       ) AS BIGINT) AS cluster_id
+                FROM h GROUP BY hsh
             )
-            SELECT d.doc_id, g.cluster_id,
-                   CAST(d.doc_id = g.cluster_id AS VARCHAR) AS keep
-            FROM documents d JOIN g ON sha256(d.text) = g.h
+            SELECT h.doc_id, o.cluster_id,
+                   CAST(h.doc_id = o.cluster_id AS VARCHAR) AS keep
+            FROM h JOIN o USING (hsh)
         """,
         "winnow_planted": f"""
             SELECT CAST(doc_id AS BIGINT) AS doc_id,
