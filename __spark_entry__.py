@@ -934,6 +934,28 @@ def _q_media_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _q_png_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL COMPRESSED-codec decode, fully oracled: the same closed-form
+    pixel corpus as media_stats but DEFLATE-compressed as 8-bit RGB PNG
+    (stdlib-zlib encoder), decoded by the engine's stdlib-zlib + numpy
+    PNG parser (chunk walk, CRC check, inflate, scanline unfiltering) —
+    so a genuinely compressed format round-trips through a real decoder
+    in this codec-library-free container, and the oracle recomputes
+    width/height/mean from the closed form without touching the binary
+    (compression is bit-exact-invisible to the stats)."""
+    from finddup_spark.operators.multimodal import decode_media, synthesize_png_media
+
+    media = synthesize_png_media(_docs(spark, sf_dir).select("doc_id"))
+    return decode_media(media).select(
+        F.col("doc_id").cast("long").alias("doc_id"),
+        "kind",
+        F.col("width").cast("long").alias("width"),
+        F.col("height").cast("long").alias("height"),
+        F.col("n_pixels").cast("long").alias("n_pixels"),
+        "mean_pixel",
+    )
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "exact_block_sizes": _q_exact_block_sizes,
@@ -965,6 +987,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "lsh_topk": _q_lsh_topk,
         "ivf_topk": _q_ivf_topk,
         "media_stats": _q_media_stats,
+        "png_stats": _q_png_stats,
         "anti_join_uniques": _q_anti_join_uniques,
         "pipeline_pages": _q_pipeline_pages,
         "site_rollup": _q_site_rollup,
@@ -1645,6 +1668,32 @@ def oracle_sql() -> dict[str, str]:
             )
             SELECT CAST(d.doc_id AS BIGINT) AS doc_id,
                    'ppm' AS kind,
+                   CAST(d.w AS BIGINT) AS width,
+                   CAST(d.h AS BIGINT) AS height,
+                   CAST(d.w * d.h AS BIGINT) AS n_pixels,
+                   round(p.s * 1.0 / p.nb, 6) AS mean_pixel
+            FROM dims d JOIN px p USING (doc_id)
+        """,
+        "png_stats": """
+            -- same closed-form pixels as media_stats; the deflate
+            -- round-trip is bit-exact, so the oracle is identical up to
+            -- the kind label
+            WITH dims AS (
+                SELECT doc_id,
+                       4 + doc_id % 5 AS w,
+                       3 + doc_id % 4 AS h
+                FROM documents
+            ),
+            px AS (
+                SELECT d.doc_id,
+                       sum((d.doc_id * 7 + u.i * 31) % 256) AS s,
+                       count(*) AS nb
+                FROM dims d,
+                     UNNEST(generate_series(0, d.w * d.h * 3 - 1)) AS u(i)
+                GROUP BY d.doc_id
+            )
+            SELECT CAST(d.doc_id AS BIGINT) AS doc_id,
+                   'png' AS kind,
                    CAST(d.w AS BIGINT) AS width,
                    CAST(d.h AS BIGINT) AS height,
                    CAST(d.w * d.h AS BIGINT) AS n_pixels,

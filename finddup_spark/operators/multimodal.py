@@ -1,14 +1,17 @@
 """Multimodal binary-column operators (training-pipeline family).
 
 Images / audio / video are opaque ``binary`` columns with typed metadata.
-``decode_media`` is a REAL decoder for the uncompressed Netpbm P6 (PPM)
-format — a pure-numpy header+pixel parse that needs no codec library, so
-the decode path is genuinely exercised in this container; compressed
-kinds (jpeg/png) dispatch to PIL when importable and degrade to
+``decode_media`` is a REAL decoder for two formats that need no codec
+library in this container: the uncompressed Netpbm P6 (PPM) format (pure
+numpy header+pixel parse) and COMPRESSED 8-bit RGB PNG (stdlib ``zlib``
+inflate + numpy scanline unfiltering, all five PNG filter types — the
+public PNG spec's critical-chunk path). Other compressed kinds (jpeg,
+palette/interlaced png) dispatch to PIL when importable and degrade to
 NULL-stats lineage rows otherwise. :func:`fake_decode_stats` remains the
 codec-free plumbing driver (byte stats over arbitrary blobs), and
-:func:`synthesize_ppm_media` generates a deterministic PPM corpus whose
-stats a SQL oracle recomputes in closed form.
+:func:`synthesize_ppm_media` / :func:`synthesize_png_media` generate
+deterministic corpora whose stats a SQL oracle recomputes in closed form
+(the PNG corpus round-trips through a real deflate compress/inflate).
 
 Schema:
     media(doc_id long, kind string, payload binary, meta map<string,string>)
@@ -16,6 +19,8 @@ Schema:
 
 from __future__ import annotations
 
+import struct
+import zlib
 from collections.abc import Iterator
 
 import numpy as np
@@ -95,18 +100,153 @@ def _parse_ppm(payload: bytes) -> tuple[int, int, int, np.ndarray]:
     return w, h, maxval, data
 
 
+_PNG_SIG = b"\x89PNG\r\n\x1a\n"
+
+
+def _png_chunk(ctype: bytes, data: bytes) -> bytes:
+    return (
+        struct.pack(">I", len(data))
+        + ctype
+        + data
+        + struct.pack(">I", zlib.crc32(ctype + data) & 0xFFFFFFFF)
+    )
+
+
+def _encode_png(w: int, h: int, rgb: np.ndarray, filter_type: int = 0) -> bytes:
+    """Minimal 8-bit RGB non-interlaced PNG encoder — stdlib zlib only.
+
+    Writes one IDAT with the SAME ``filter_type`` byte on every scanline
+    (0 = None for the synthetic corpus; tests pass 1-4 to exercise each
+    decoder unfilter path). ``rgb`` is the flat w*h*3 uint8 pixel array.
+    """
+    rows = np.asarray(rgb, dtype=np.uint8).reshape(h, w * 3).astype(np.int64)
+    bpp = 3
+    raw = bytearray()
+    prev = np.zeros(w * 3, dtype=np.int64)
+    for y in range(h):
+        cur = rows[y]
+        if filter_type == 0:
+            enc = cur
+        elif filter_type == 2:  # Up
+            enc = (cur - prev) & 0xFF
+        else:  # Sub / Average / Paeth need the reconstructed left pixel
+            enc = np.empty(w * 3, dtype=np.int64)
+            for x in range(w * 3):
+                a = cur[x - bpp] if x >= bpp else 0
+                b = prev[x]
+                if filter_type == 1:  # Sub
+                    enc[x] = (cur[x] - a) & 0xFF
+                elif filter_type == 3:  # Average
+                    enc[x] = (cur[x] - (a + b) // 2) & 0xFF
+                elif filter_type == 4:  # Paeth
+                    c = prev[x - bpp] if x >= bpp else 0
+                    p = a + b - c
+                    pa, pb, pc = abs(p - a), abs(p - b), abs(p - c)
+                    pr = a if (pa <= pb and pa <= pc) else (b if pb <= pc else c)
+                    enc[x] = (cur[x] - pr) & 0xFF
+                else:
+                    raise ValueError(f"bad filter {filter_type}")
+        raw.append(filter_type)
+        raw.extend(enc.astype(np.uint8).tobytes())
+        prev = cur
+    ihdr = struct.pack(">IIBBBBB", w, h, 8, 2, 0, 0, 0)
+    return (
+        _PNG_SIG
+        + _png_chunk(b"IHDR", ihdr)
+        + _png_chunk(b"IDAT", zlib.compress(bytes(raw), 9))
+        + _png_chunk(b"IEND", b"")
+    )
+
+
+def _parse_png(payload: bytes) -> tuple[int, int, np.ndarray]:
+    """Decode an 8-bit RGB (color type 2) non-interlaced PNG with stdlib
+    zlib + numpy — no codec library (public PNG spec, RFC 2083): chunk
+    walk with CRC verification, one inflate, then per-scanline
+    unfiltering of all five filter types (None/Sub/Up/Average/Paeth).
+    Unsupported depths/color types/interlace raise ValueError and
+    surface as NULL-stats lineage rows (the reference's unreadable-file
+    handling, ``finddup.py:144-149``). Returns (w, h, flat RGB bytes).
+    """
+    if payload[:8] != _PNG_SIG:
+        raise ValueError(f"not a PNG (magic {payload[:8]!r})")
+    idx, idat, w, h = 8, bytearray(), None, None
+    while idx + 12 <= len(payload):
+        (ln,) = struct.unpack(">I", payload[idx : idx + 4])
+        ctype = payload[idx + 4 : idx + 8]
+        data = payload[idx + 8 : idx + 8 + ln]
+        if len(data) != ln:
+            raise ValueError("truncated PNG chunk")
+        (crc,) = struct.unpack(">I", payload[idx + 8 + ln : idx + 12 + ln])
+        if zlib.crc32(ctype + data) & 0xFFFFFFFF != crc:
+            raise ValueError(f"bad CRC in {ctype!r} chunk")
+        if ctype == b"IHDR":
+            w, h, depth, color, comp, filt, interlace = struct.unpack(
+                ">IIBBBBB", data
+            )
+            if depth != 8 or color != 2 or comp or filt or interlace:
+                # e.g. palette/alpha/16-bit/interlaced → PIL-or-NULL path
+                raise ValueError(
+                    f"unsupported PNG (depth {depth}, color {color}, "
+                    f"interlace {interlace})"
+                )
+        elif ctype == b"IDAT":
+            idat.extend(data)
+        elif ctype == b"IEND":
+            break
+        idx += 12 + ln
+    if w is None or not idat:
+        raise ValueError("PNG missing IHDR/IDAT")
+    raw = zlib.decompress(bytes(idat))
+    stride = w * 3
+    if len(raw) != h * (stride + 1):
+        raise ValueError("PNG IDAT length mismatch")
+    arr = np.frombuffer(raw, dtype=np.uint8).reshape(h, stride + 1)
+    bpp = 3
+    out = np.zeros((h, stride), dtype=np.uint8)
+    for y in range(h):
+        f = int(arr[y, 0])
+        cur = arr[y, 1:].astype(np.int64)
+        prev = out[y - 1].astype(np.int64) if y else np.zeros(stride, np.int64)
+        if f == 0:
+            rec = cur
+        elif f == 2:  # Up — vectorized (with Sub=1 below, the common pair)
+            rec = (cur + prev) & 0xFF
+        elif f in (1, 3, 4):
+            rec = np.empty(stride, dtype=np.int64)
+            for x in range(stride):
+                a = rec[x - bpp] if x >= bpp else 0
+                b = prev[x]
+                if f == 1:  # Sub
+                    val = cur[x] + a
+                elif f == 3:  # Average
+                    val = cur[x] + (a + b) // 2
+                else:  # Paeth
+                    c = prev[x - bpp] if x >= bpp else 0
+                    p = a + b - c
+                    pa, pb, pc = abs(p - a), abs(p - b), abs(p - c)
+                    pr = a if (pa <= pb and pa <= pc) else (b if pb <= pc else c)
+                    val = cur[x] + pr
+                rec[x] = val & 0xFF
+        else:
+            raise ValueError(f"bad PNG filter type {f}")
+        out[y] = (rec & 0xFF).astype(np.uint8)
+    return w, h, out.reshape(-1)
+
+
 def decode_media(media: DataFrame) -> DataFrame:
     """REAL media decode → per-image stats (doc_id, kind, width, height,
     n_pixels, mean_pixel).
 
     ``kind='ppm'`` rows are decoded with the pure-numpy Netpbm P6 parser
-    (:func:`_parse_ppm`) — an uncompressed public format that needs no
-    codec library, so the decode is real in this container. Other kinds
-    (jpeg/png/...) dispatch to PIL when importable and fail loudly per
-    row otherwise (a decode error surfaces as a NULL-stats row, the
-    lineage-row analog of the reference's unreadable-file handling,
-    ``finddup.py:144-149``). Plumbing: binary column → Arrow batch →
-    numpy → struct rows, identical for every codec."""
+    (:func:`_parse_ppm`); ``kind='png'`` rows with the stdlib-zlib +
+    numpy PNG decoder (:func:`_parse_png`) — one uncompressed and one
+    genuinely COMPRESSED public format, both real in this container with
+    no codec library. Other kinds (jpeg/...; pngs outside the RGB8
+    non-interlaced profile) dispatch to PIL when importable and fail
+    loudly per row otherwise (a decode error surfaces as a NULL-stats
+    row, the lineage-row analog of the reference's unreadable-file
+    handling, ``finddup.py:144-149``). Plumbing: binary column → Arrow
+    batch → numpy → struct rows, identical for every codec."""
     pil = _try_import_pil()
 
     def fn(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
@@ -123,6 +263,28 @@ def decode_media(media: DataFrame) -> DataFrame:
                         w, h, _maxval, data = _parse_ppm(bytes(payload))
                         npx = w * h
                         mean = round(float(data.mean()) if len(data) else 0.0, 6)
+                    elif kind == "png":
+                        try:
+                            w, h, data = _parse_png(bytes(payload))
+                        except ValueError:
+                            # outside the RGB8 non-interlaced profile →
+                            # PIL when importable, else NULL-stats row
+                            if pil is None:
+                                raise
+                            w = h = data = None
+                        if data is not None:
+                            npx = w * h
+                            mean = round(
+                                float(data.mean()) if len(data) else 0.0, 6
+                            )
+                        else:
+                            import io
+
+                            img = pil.open(io.BytesIO(bytes(payload)))
+                            arr = np.asarray(img, dtype=np.uint8)
+                            w, h = img.size
+                            npx = w * h
+                            mean = round(float(arr.mean()), 6)
                     elif pil is not None:
                         import io
 
@@ -181,6 +343,48 @@ def synthesize_ppm_media(
     ).select(
         "doc_id", "kind", "payload",
         F.create_map(F.lit("codec"), F.lit("ppm")).alias("meta"),
+    )
+
+
+def synthesize_png_media(
+    ids: DataFrame, id_col: str = "doc_id"
+) -> DataFrame:
+    """Deterministic synthetic PNG corpus: the SAME closed-form pixels as
+    :func:`synthesize_ppm_media` (width = 4 + id%5, height = 3 + id%4,
+    pixel byte i = (id*7 + i*31) % 256) but DEFLATE-compressed through
+    the stdlib-zlib PNG encoder — so decode genuinely round-trips a
+    compressed codec while the SQL oracle still recomputes the stats in
+    closed form without touching the binary. Output matches
+    MEDIA_SCHEMA."""
+    out_schema = StructType(
+        [
+            StructField("doc_id", LongType()),
+            StructField("kind", StringType()),
+            StructField("payload", BinaryType()),
+        ]
+    )
+
+    def fn(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            ids_, payloads = [], []
+            for did in pdf[id_col].values:
+                did = int(did)
+                w, h = 4 + did % 5, 3 + did % 4
+                nb = w * h * 3
+                data = ((did * 7 + np.arange(nb, dtype=np.int64) * 31) % 256).astype(
+                    np.uint8
+                )
+                payloads.append(_encode_png(w, h, data))
+                ids_.append(did)
+            yield pd.DataFrame({"doc_id": pd.Series(ids_, dtype="int64"),
+                                "kind": "png",
+                                "payload": payloads})
+
+    return ids.select(F.col(id_col).cast("long").alias("doc_id")).mapInPandas(
+        fn, out_schema
+    ).select(
+        "doc_id", "kind", "payload",
+        F.create_map(F.lit("codec"), F.lit("png")).alias("meta"),
     )
 
 

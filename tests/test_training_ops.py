@@ -656,3 +656,49 @@ def test_textstats_vertical_tab_parity(spark):
     # and \x0b genuinely splits tokens (guards against a class typo that
     # silently stops matching anything)
     assert int(eng.loc[0, "n_tokens"]) == 3
+
+
+def test_png_codec_all_filters_roundtrip():
+    """The stdlib-zlib PNG decoder must reconstruct exact pixels for
+    every scanline filter type (None/Sub/Up/Average/Paeth), reject
+    corrupt CRCs, and reject profiles outside RGB8 non-interlaced."""
+    from finddup_spark.operators.multimodal import _encode_png, _parse_png
+
+    rng = np.random.default_rng(7)
+    w, h = 9, 6
+    rgb = rng.integers(0, 256, size=w * h * 3, dtype=np.int64).astype(np.uint8)
+    for f in range(5):
+        blob = _encode_png(w, h, rgb, filter_type=f)
+        ww, hh, out = _parse_png(blob)
+        assert (ww, hh) == (w, h), f
+        assert (out == rgb).all(), f"filter {f} mismatch"
+
+    blob = bytearray(_encode_png(w, h, rgb))
+    blob[60] ^= 0xFF  # corrupt a byte inside IDAT → CRC must catch it
+    with pytest.raises(ValueError, match="CRC"):
+        _parse_png(bytes(blob))
+    import struct as _s
+    import zlib as _z
+    bad_ihdr = _s.pack(">IIBBBBB", w, h, 8, 6, 0, 0, 0)  # RGBA: unsupported
+    sig = b"\x89PNG\r\n\x1a\n"
+    chunk = _s.pack(">I", len(bad_ihdr)) + b"IHDR" + bad_ihdr + _s.pack(
+        ">I", _z.crc32(b"IHDR" + bad_ihdr) & 0xFFFFFFFF
+    )
+    with pytest.raises(ValueError, match="unsupported"):
+        _parse_png(sig + chunk)
+
+
+def test_png_media_decode_matches_ppm(spark):
+    """synthesize_png_media compresses the same closed-form pixels as the
+    PPM corpus — decode_media must produce identical stats for both."""
+    from finddup_spark.operators.multimodal import (
+        synthesize_png_media,
+        synthesize_ppm_media,
+    )
+
+    ids = spark.range(0, 40).select(F.col("id").alias("doc_id"))
+    png = decode_media(synthesize_png_media(ids)).toPandas().sort_values("doc_id")
+    ppm = decode_media(synthesize_ppm_media(ids)).toPandas().sort_values("doc_id")
+    assert list(png.kind.unique()) == ["png"]
+    for col in ("width", "height", "n_pixels", "mean_pixel"):
+        assert list(png[col]) == list(ppm[col]), col
