@@ -111,17 +111,34 @@ def _commit_manifest(
     against a racer that still references A or B without duplicating
     state rows.
 
-    Known limit, shared with every listing-based table format: two
-    writers interleaving WITHIN each other's in-flight write window can
-    in principle both pass the pre-check and post-check; fully
-    linearizing concurrent multi-writer commits on a real object store
-    requires an external CAS coordinator (an Iceberg catalog swap /
-    Delta-on-S3's DynamoDB commit service). The actual writer here is
-    the serialized foreachBatch loop — the CAS protects against stale
-    RETRIES and crashed predecessors, the documented failure modes."""
+    Post-validation is two-sided: the commit only counts if (a) it is
+    still the highest committed version (readers take the highest, so a
+    superseded commit never becomes visible), AND (b) NO version between
+    the pre-check snapshot and this write has become committed — (b)
+    catches the in-flight-writer interleaving where a racer's
+    trailer-terminated manifest was mid-write (hence skipped as
+    uncommitted) during this writer's pre-check and completed before
+    this writer's own write landed; without it this writer could commit
+    a higher version that silently drops the racer's delta while BOTH
+    return success.
+
+    Known limit, shared with every listing-based protocol without an
+    external coordinator: the post-check itself is a read, so a racer
+    completing AFTER this writer's post-validate but at a lower version
+    is still superseded silently from the READER's perspective for the
+    interval until the racer's own post-validate fails and it retries —
+    writers never lose updates (one of the two always returns False and
+    recomputes), but linearizing the committed-version history for
+    concurrent multi-writers on a real object store requires an
+    external CAS coordinator (an Iceberg catalog swap / Delta-on-S3's
+    DynamoDB commit service — here, :class:`SqliteManifestCatalog`).
+    The actual writer here is the serialized foreachBatch loop — the
+    file CAS protects against stale RETRIES and crashed predecessors,
+    the documented failure modes."""
     while True:
         vs = _manifest_versions(out_dir)
-        if expected_base is not None and _committed_deltas(out_dir) != expected_base:
+        base_v, base_list = _active_manifest(out_dir)
+        if expected_base is not None and base_list != expected_base:
             return False
         body = "\n".join(deltas) + "\n" + _COMMIT_TRAILER + "\n"
         next_v = (vs[0][0] + 1) if vs else 1
@@ -134,7 +151,87 @@ def _commit_manifest(
             f.write(body)
             f.flush()
             os.fsync(f.fileno())
-        return _active_manifest(out_dir)[0] == next_v
+        if _active_manifest(out_dir)[0] != next_v:
+            return False
+        # (b): any commit that landed between the pre-check snapshot and
+        # our write was derived concurrently — fail and let the caller
+        # recompute against the merged history instead of dropping it
+        for v, name in _manifest_versions(out_dir):
+            if base_v < v < next_v:
+                with open(os.path.join(out_dir, name)) as f:
+                    lines = f.read().splitlines()
+                if lines and lines[-1] == _COMMIT_TRAILER:
+                    return False
+        return True
+
+
+class SqliteManifestCatalog:
+    """External CAS coordinator for the state manifest — the sandbox
+    analog of an Iceberg catalog swap / Delta-on-S3's DynamoDB commit
+    service, closing the multi-writer in-flight window the listing-based
+    file protocol documents (see :func:`_commit_manifest`): the manifest
+    pointer lives in ONE SQLite row and every commit is a conditional
+    UPDATE inside a BEGIN IMMEDIATE transaction, so two concurrent
+    commits against the same base version can never both succeed —
+    SQLite serializes the write transactions (true linearizable CAS).
+
+    On a real deployment the same two-method interface maps onto any
+    conditional-put service (catalog REST swap, DynamoDB PutItem with a
+    condition expression); the protocol around it is unchanged."""
+
+    def __init__(self, path: str):
+        import sqlite3
+
+        self.path = path
+        con = sqlite3.connect(path, timeout=30.0)
+        try:
+            con.execute(
+                "CREATE TABLE IF NOT EXISTS manifest ("
+                "id INTEGER PRIMARY KEY CHECK (id = 1), "
+                "version INTEGER NOT NULL, deltas TEXT NOT NULL)"
+            )
+            con.execute(
+                "INSERT OR IGNORE INTO manifest (id, version, deltas) "
+                "VALUES (1, 0, '[]')"
+            )
+            con.commit()
+        finally:
+            con.close()
+
+    def current(self) -> tuple[int, list[str]]:
+        """(version, committed delta list) — the snapshot a writer pins."""
+        import json
+        import sqlite3
+
+        con = sqlite3.connect(self.path, timeout=30.0)
+        try:
+            v, d = con.execute(
+                "SELECT version, deltas FROM manifest WHERE id = 1"
+            ).fetchone()
+            return int(v), json.loads(d)
+        finally:
+            con.close()
+
+    def commit(self, expected_version: int, deltas: list[str]) -> bool:
+        """CAS: succeed iff the catalog still holds ``expected_version``.
+        Returns False on conflict — the caller re-reads and recomputes
+        (same contract as :func:`_commit_manifest`)."""
+        import json
+        import sqlite3
+
+        con = sqlite3.connect(self.path, timeout=30.0, isolation_level=None)
+        try:
+            con.execute("BEGIN IMMEDIATE")
+            cur = con.execute(
+                "UPDATE manifest SET version = version + 1, deltas = ? "
+                "WHERE id = 1 AND version = ?",
+                (json.dumps(deltas), int(expected_version)),
+            )
+            ok = cur.rowcount == 1
+            con.execute("COMMIT" if ok else "ROLLBACK")
+            return ok
+        finally:
+            con.close()
 
 
 def read_state(
@@ -152,7 +249,10 @@ def read_state(
 
 
 def merge_batch(
-    spark: SparkSession, batch: DataFrame, out_dir: str
+    spark: SparkSession,
+    batch: DataFrame,
+    out_dir: str,
+    catalog: SqliteManifestCatalog | None = None,
 ) -> DataFrame:
     """Merge one micro-batch into the exact-dedup state.
 
@@ -161,6 +261,11 @@ def merge_batch(
     streaming-consistent min is unobtainable without reprocessing, and
     first-seen matches dedup-pipeline semantics: the earliest crawl is
     the keeper). Returns the batch's assignments.
+
+    With ``catalog`` (a :class:`SqliteManifestCatalog`), the manifest
+    pointer lives in the external CAS coordinator instead of versioned
+    manifest files — the linearizable multi-writer path; the delta
+    layout and retry loop are identical.
 
     State layout (crash-safe, bounded writes): each batch APPENDS one
     delta parquet dir holding only its NEW hashes (O(|fresh|) write, not
@@ -189,7 +294,10 @@ def merge_batch(
     # not a name union, is what keeps one row per hash). Failed attempts
     # leave orphan delta dirs no manifest references (GC-able).
     for _attempt in range(8):
-        base = _committed_deltas(out_dir)
+        if catalog is not None:
+            base_v, base = catalog.current()
+        else:
+            base = _committed_deltas(out_dir)
         state = read_state(spark, out_dir, deltas=base)
         assigned = hashed.join(state, "content_sha", "left")
         fresh = (
@@ -208,9 +316,13 @@ def merge_batch(
             spark.read.parquet(*[os.path.join(root, d) for d in live]).coalesce(
                 max(1, spark.sparkContext.defaultParallelism // 4)
             ).write.mode("overwrite").parquet(os.path.join(root, compacted))
-            committed = _commit_manifest(out_dir, [compacted], expected_base=base)
+            target = [compacted]
         else:
-            committed = _commit_manifest(out_dir, live, expected_base=base)
+            target = live
+        if catalog is not None:
+            committed = catalog.commit(base_v, target)
+        else:
+            committed = _commit_manifest(out_dir, target, expected_base=base)
         if committed:
             break
     else:
@@ -218,7 +330,10 @@ def merge_batch(
             "merge_batch: state commit lost the CAS race 8 times — "
             "another writer is live on this state dir"
         )
-    out = hashed.join(read_state(spark, out_dir), "content_sha").select(
+    final = catalog.current()[1] if catalog is not None else None
+    out = hashed.join(
+        read_state(spark, out_dir, deltas=final), "content_sha"
+    ).select(
         "doc_id", "cluster_id", (F.col("doc_id") == F.col("cluster_id")).alias("keep")
     )
     return out
@@ -248,11 +363,14 @@ def streaming_exact_dedup(
     out_dir: str,
     schema: str = "doc_id long, url string, warc_ts timestamp, text string",
     late_threshold: str = "1 day",
+    catalog: SqliteManifestCatalog | None = None,
 ):
     """Structured Streaming variant: returns the started StreamingQuery.
 
     Watermark bounds state for late re-crawls; foreachBatch applies the
     same merge as the batch-incremental path (stream/batch unification).
+    ``catalog`` routes manifest commits through the external CAS
+    coordinator (multi-writer-safe state sharing across pipelines).
     """
     os.makedirs(out_dir, exist_ok=True)
     stream = (
@@ -262,7 +380,7 @@ def streaming_exact_dedup(
     )
 
     def sink(batch: DataFrame, batch_id: int) -> None:
-        out = merge_batch(batch.sparkSession, batch, out_dir)
+        out = merge_batch(batch.sparkSession, batch, out_dir, catalog=catalog)
         out.write.mode("append").parquet(os.path.join(out_dir, "assignments"))
 
     return (

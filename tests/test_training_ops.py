@@ -702,3 +702,108 @@ def test_png_media_decode_matches_ppm(spark):
     assert list(png.kind.unique()) == ["png"]
     for col in ("width", "height", "n_pixels", "mean_pixel"):
         assert list(png[col]) == list(ppm[col]), col
+
+
+def test_sqlite_catalog_torture_no_lost_updates(tmp_path):
+    """External CAS coordinator (round-3 VERDICT ask #5): writers racing
+    through SqliteManifestCatalog must never lose an update — every
+    commit token survives exactly once and the version counts every
+    success. 4 threads x 50 commits, each retrying CAS until it wins."""
+    import threading
+
+    from finddup_spark.streaming.incremental import SqliteManifestCatalog
+
+    cat = SqliteManifestCatalog(str(tmp_path / "catalog.db"))
+    n_threads, n_commits = 4, 50
+    errors: list = []
+
+    def writer(tid: int) -> None:
+        try:
+            for k in range(n_commits):
+                token = f"w{tid}_{k}"
+                while True:
+                    v, deltas = cat.current()
+                    if cat.commit(v, deltas + [token]):
+                        break
+        except Exception as e:  # surfaced below — threads swallow asserts
+            errors.append(e)
+
+    ts = [threading.Thread(target=writer, args=(i,)) for i in range(n_threads)]
+    for t in ts:
+        t.start()
+    for t in ts:
+        t.join()
+    assert not errors, errors
+    v, deltas = cat.current()
+    assert v == n_threads * n_commits
+    expected = {f"w{i}_{k}" for i in range(n_threads) for k in range(n_commits)}
+    assert len(deltas) == len(expected) and set(deltas) == expected
+
+
+def test_manifest_postvalidate_catches_inflight_racer(tmp_path, monkeypatch):
+    """ADVICE r3: a racer whose trailer-terminated manifest was MID-WRITE
+    during this writer's pre-check (hence skipped as uncommitted) and
+    completed before this writer's post-validate must fail THIS writer's
+    commit — otherwise both writers return success and the racer's delta
+    is silently dropped from the winning manifest."""
+    import finddup_spark.streaming.incremental as inc
+
+    out = str(tmp_path / "state")
+    os.makedirs(out)
+    assert inc._commit_manifest(out, ["A"], expected_base=[])  # committed v1
+
+    # racer W1 is mid-write at v2: body present, trailer not yet
+    v2 = os.path.join(out, f"{inc._MANIFEST_PREFIX}{2:012d}")
+    with open(v2, "w") as f:
+        f.write("A\nB\n")
+
+    real = inc._active_manifest
+    fired = {"done": False}
+
+    def hooked(out_dir):
+        r = real(out_dir)
+        if not fired["done"]:
+            fired["done"] = True  # W1 completes right after W2's pre-check
+            with open(v2, "a") as f:
+                f.write(inc._COMMIT_TRAILER + "\n")
+        return r
+
+    monkeypatch.setattr(inc, "_active_manifest", hooked)
+    # W2, based on v1's list [A], tries to commit [A, C] at v3 — the
+    # strengthened post-validate sees v2 became committed inside the
+    # window and fails the commit (round-3 code returned True here,
+    # silently dropping W1's B from the winning manifest while W1 also
+    # believed it had succeeded)
+    assert inc._commit_manifest(out, ["A", "C"], expected_base=["A"]) is False
+    monkeypatch.undo()
+    # W2's v3 still supersedes v2 in the version history (readers take
+    # the highest committed), and W1's own post-validate fails too
+    # (highest committed is 3, not its 2) — so BOTH writers retry with
+    # recomputed deltas and no delta CONTENT is lost
+    v, live = inc._active_manifest(out)
+    assert (v, live) == (3, ["A", "C"])
+    assert inc._active_manifest(out)[0] != 2  # W1's post-validate → False
+    # W1 retry: re-derives its rows against the winning history
+    assert inc._commit_manifest(out, live + ["B2"], expected_base=live)
+    assert inc._committed_deltas(out) == ["A", "C", "B2"]
+
+
+def test_merge_batch_with_catalog(spark, tmp_path):
+    """merge_batch routed through the external catalog: same first-seen
+    semantics, state recorded in the coordinator, file manifests unused."""
+    import finddup_spark.streaming.incremental as inc
+
+    out = str(tmp_path / "state")
+    cat = inc.SqliteManifestCatalog(str(tmp_path / "catalog.db"))
+    b1 = spark.createDataFrame([(10, "xxx"), (11, "xxx"), (12, "yyy")],
+                               "doc_id long, text string")
+    r1 = inc.merge_batch(spark, b1, out, catalog=cat).toPandas()
+    assert dict(zip(r1.doc_id, r1.cluster_id)) == {10: 10, 11: 10, 12: 12}
+    b2 = spark.createDataFrame([(5, "xxx"), (6, "zzz")],
+                               "doc_id long, text string")
+    r2 = inc.merge_batch(spark, b2, out, catalog=cat).toPandas()
+    # first-seen-wins: sha of "xxx" keeps owner 10 though 5 < 10
+    assert dict(zip(r2.doc_id, r2.cluster_id)) == {5: 10, 6: 6}
+    v, deltas = cat.current()
+    assert v == 2 and len(deltas) == 2
+    assert inc._manifest_versions(out) == []  # no file manifests written
