@@ -793,7 +793,10 @@ def _q_boilerplate_ratio(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     docs = _docs(spark, sf_dir)
     n = docs.filter(F.col("text").isNotNull()).count()
-    out = boilerplate_ratio(docs, k=5, min_df=max(2, n // 20))
+    # hashed=False: the DuckDB twin recomputes shingle VALUES; the
+    # production default hashes shingles pre-shuffle and is proven
+    # output-identical by test_boilerplate_hashed_matches_string
+    out = boilerplate_ratio(docs, k=5, min_df=max(2, n // 20), hashed=False)
     return out.select(
         F.col("doc_id").cast("long").alias("doc_id"),
         F.col("n_shingles").cast("long").alias("n_shingles"),

@@ -15,14 +15,20 @@ single-space tokens; docs shorter than k take one whole-doc shingle), so
 a DuckDB oracle reproduces the output exactly.
 
 Scale shape: one explode (corpus tokens × ~1 row per token) feeding a
-partial-aggregating groupBy on the shingle string — the unavoidable
-shuffle of a DF computation; the boilerplate set (rows with df >=
-min_df) is small by construction (boilerplate is the HEAD of the df
-distribution) and broadcasts back for the per-doc ratio join. At
-production scale the shingle would be hashed (xxhash64) before the
-shuffle to cut bytes ~10x; the string form is kept here because the
-driver oracle compares shingle VALUES (hashes are not
-ANSI-SQL-computable).
+partial-aggregating groupBy on the shingle — the unavoidable shuffle of
+a DF computation; the boilerplate set (rows with df >= min_df) is small
+by construction (boilerplate is the HEAD of the df distribution) and
+broadcasts back for the per-doc ratio join.
+
+``hashed=True`` (the production DEFAULT) xxhash64-hashes each shingle
+INSIDE the per-doc array, before the explode and both shuffles
+(doc-distinct and df-groupBy), so every exchanged row carries an 8-byte
+long instead of a ~30-60-byte k-token string — ~5-10x fewer shuffle
+bytes with identical counts up to 64-bit collisions (~n²/2⁶⁴,
+negligible at any df threshold). The string form (``hashed=False``) is
+kept for the driver oracle query, whose DuckDB twin recomputes shingle
+VALUES (xxhash64 is not ANSI-SQL-computable), and doubles as the
+collision-free reference in tests.
 """
 
 from __future__ import annotations
@@ -36,10 +42,14 @@ def doc_shingles(
     k: int = 5,
     id_col: str = "doc_id",
     text_col: str = "text",
+    hashed: bool = False,
 ) -> DataFrame:
-    """(doc_id, shingle) — DISTINCT k-token string shingles per document
+    """(doc_id, shingle) — DISTINCT k-token shingles per document
     (single-space tokenization, whole-doc shingle when shorter than k —
-    the exact semantics of signatures._batch_shingles, minus hashing)."""
+    the exact semantics of signatures._batch_shingles). ``hashed=True``
+    replaces each shingle string with its xxhash64 (a long) while still
+    inside the per-document array — upstream of the explode and of every
+    shuffle, so no exchange ever carries shingle text."""
     toks = F.split(F.col(text_col), " ")
     windows = F.transform(
         F.sequence(F.lit(1), F.size(toks) - (k - 1)),
@@ -48,6 +58,8 @@ def doc_shingles(
     shingles = F.when(F.size(toks) >= k, windows).otherwise(
         F.array(F.array_join(toks, " "))
     )
+    if hashed:
+        shingles = F.transform(shingles, lambda s: F.xxhash64(s))
     return (
         docs.filter(F.col(text_col).isNotNull())
         .select(F.col(id_col), F.explode(shingles).alias("shingle"))
@@ -73,15 +85,21 @@ def boilerplate_ratio(
     min_df_ratio: float = 0.05,
     id_col: str = "doc_id",
     text_col: str = "text",
+    hashed: bool = True,
 ) -> DataFrame:
     """(doc_id, n_shingles, n_boiler, boiler_ratio) — per-document
     boilerplate contamination. ``min_df`` defaults to
     max(2, floor(n_docs * min_df_ratio)) computed from the input (one
     tiny count action, mirrored in the SQL oracle as a scalar subquery).
 
+    ``hashed=True`` (default, the production path) shuffles 8-byte
+    shingle hashes instead of shingle strings — identical output up to
+    negligible 64-bit collisions; pass ``hashed=False`` for the
+    collision-free string form the SQL oracle can recompute.
+
     The boilerplate set is broadcast: by construction it is the head of
     the df distribution (|set| <= total_shingle_occurrences / min_df)."""
-    sh = doc_shingles(docs, k, id_col, text_col)
+    sh = doc_shingles(docs, k, id_col, text_col, hashed=hashed)
     if min_df is None:
         n_docs = docs.filter(F.col(text_col).isNotNull()).count()
         min_df = max(2, int(n_docs * min_df_ratio))

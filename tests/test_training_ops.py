@@ -807,3 +807,25 @@ def test_merge_batch_with_catalog(spark, tmp_path):
     v, deltas = cat.current()
     assert v == 2 and len(deltas) == 2
     assert inc._manifest_versions(out) == []  # no file manifests written
+
+
+def test_boilerplate_hashed_matches_string(spark, tiny_corpus):
+    """The production hashed-shingle path (8-byte longs through both
+    shuffles) must produce byte-identical ratios to the string form the
+    SQL oracle checks — and the shuffled column really is a long."""
+    from finddup_spark.operators.boilerplate import boilerplate_ratio, doc_shingles
+
+    pages = load_pages(spark, tiny_corpus[0]).filter(
+        "text is not null"
+    ).select("doc_id", "text")
+    a = (
+        boilerplate_ratio(pages, k=5, min_df=10, hashed=True)
+        .toPandas().sort_values("doc_id").reset_index(drop=True)
+    )
+    b = (
+        boilerplate_ratio(pages, k=5, min_df=10, hashed=False)
+        .toPandas().sort_values("doc_id").reset_index(drop=True)
+    )
+    pd.testing.assert_frame_equal(a, b)
+    assert dict(doc_shingles(pages, hashed=True).dtypes)["shingle"] == "bigint"
+    assert dict(doc_shingles(pages, hashed=False).dtypes)["shingle"] == "string"
