@@ -20,6 +20,40 @@ from .exact import exact_clusters
 from .lsh import candidate_pairs, simhash_candidate_pairs, verify_pairs
 
 
+def exact_text_collapse(
+    docs: DataFrame, id_col: str = "doc_id", text_col: str = "text"
+) -> tuple[DataFrame, DataFrame]:
+    """(star_edges(src, dst), rep_docs) — collapse byte-identical texts
+    to one representative (min id per sha256 group) BEFORE any fuzzy
+    bucketing: one window-min shuffle over ~50-byte hashed rows (text
+    never shuffles), the same idiom as the vector collapse in
+    :func:`embedding_lsh_edges` stage 0 and the pipeline's exact-first
+    representative trick. Exact-dup floods — the dominant hot-bucket
+    source, since identical texts share EVERY band — vanish from the
+    candidate generator (probability-1 exact recall via the star), and
+    member-to-member near pairs across groups are found iff their
+    rep-to-rep pair is (identical texts ⇒ identical signatures and
+    Jaccards). NULL texts are dropped (they contribute no edges)."""
+    wh = Window.partitionBy("__h")
+    hashed = (
+        docs.filter(F.col(text_col).isNotNull())
+        .select(
+            F.col(id_col).cast("long").alias(id_col),
+            F.sha2(F.col(text_col), 256).alias("__h"),
+        )
+        .withColumn("rep", F.min(id_col).over(wh))
+    )
+    star = hashed.filter(F.col(id_col) != F.col("rep")).select(
+        F.col("rep").alias("src"), F.col(id_col).alias("dst")
+    )
+    rep_docs = docs.join(
+        hashed.filter(F.col(id_col) == F.col("rep")).select(id_col),
+        id_col,
+        "left_semi",
+    )
+    return star, rep_docs
+
+
 def exact_dedup(docs: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
     """Keep one row per byte-identical text (the min doc_id), marking the
     rest as drops: (doc_id, cluster_id, keep)."""
@@ -54,11 +88,21 @@ def minhash_dedup(
     ≈ 1 - 5e-8, so a corpus whose pair-similarity distribution drifts
     toward the threshold fails loudly long before a silent miss is
     likely. The guard fails the query instead of letting the hash
-    comparison silently diverge."""
-    sigs = compute_signatures(docs, cfg, id_col=id_col, text_col=text_col).persist()
+    comparison silently diverge.
+
+    Exact-dup floods are COLLAPSED before signatures
+    (:func:`exact_text_collapse`): identical texts share every band, so
+    a flood of n copies is the worst hot bucket there is — as a min-id
+    star it costs n-1 edges instead of flowing through the salted pair
+    generator (where the round-4 within-shard all-pairs would pay
+    ~n·cap/2 verify pairs for content that is equal by construction)."""
+    star0, rep_docs = exact_text_collapse(docs, id_col=id_col, text_col=text_col)
+    sigs = compute_signatures(
+        rep_docs, cfg, id_col=id_col, text_col=text_col
+    ).persist()
     caches: list = [sigs]
     pairs, stats = candidate_pairs(explode_bands(sigs, cfg), cfg, cache_handles=caches)
-    edges = verify_pairs(pairs, docs, cfg, id_col=id_col, text_col=text_col)
+    edges = verify_pairs(pairs, rep_docs, cfg, id_col=id_col, text_col=text_col)
     if oracle_guard:
         edges = edges.persist()
         caches.append(edges)
@@ -85,7 +129,8 @@ def minhash_dedup(
     # its actions eagerly, so the signature/band caches can be dropped
     # here — standalone calls no longer leak them until session clearCache
     cl = connected_components(
-        edges, vertices=docs.select(F.col(id_col).alias("doc_id"))
+        star0.unionByName(edges.select("src", "dst")),
+        vertices=docs.select(F.col(id_col).alias("doc_id")),
     )
     for h in caches:
         h.unpersist()
@@ -395,23 +440,7 @@ def cross_modal_dedup(
     # same one-shuffle window-min idiom as the vector collapse (and
     # exact.py's cluster window); NULL texts dropped first so they emit
     # no edges
-    wh = Window.partitionBy("__h")
-    hashed = (
-        docs.filter(F.col(text_col).isNotNull())
-        .select(
-            F.col(id_col).cast("long").alias(id_col),
-            F.sha2(F.col(text_col), 256).alias("__h"),
-        )
-        .withColumn("rep", F.min(id_col).over(wh))
-    )
-    text_star = hashed.filter(F.col(id_col) != F.col("rep")).select(
-        F.col("rep").alias("src"), F.col(id_col).alias("dst")
-    )
-    rep_docs = docs.join(
-        hashed.filter(F.col(id_col) == F.col("rep")).select(id_col),
-        id_col,
-        "left_semi",
-    )
+    text_star, rep_docs = exact_text_collapse(docs, id_col=id_col, text_col=text_col)
 
     sigs = compute_signatures(
         rep_docs, cfg, id_col=id_col, text_col=text_col
