@@ -66,6 +66,15 @@ class DedupConfig:
     # dissimilar; beyond this width (a >cap*max_shards mega-bucket) the
     # shard falls back to the star and the loss is counted in the stats.
     shard_allpairs_cap: int = 256
+    # ... and only while the whole BUCKET is at most this big: a mega-bucket
+    # (shared boilerplate block, a pathological band collision) would pay
+    # ~n*cap/2 verify pairs for content that is overwhelmingly sub-threshold
+    # (measured 2x pipeline wall on the bench corpus's 76.8k-member
+    # boilerplate buckets); above the limit shards emit min-id stars (the
+    # O(n) round-3 policy), the skipped pairs are counted in the stats, and
+    # a TRUE near-dup pair in such a bucket is still found through its
+    # other bands (P[>=1 of 32 bands co-locates a J>=0.8 pair] ~ 1).
+    allpairs_bucket_limit: int = 4096
     # progressive-prefix cheap key length (SURVEY.md §4 P2; reference 256 B
     # first-pass read, finddup.py:428).
     prefix_key_len: int = 256

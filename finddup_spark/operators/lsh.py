@@ -17,10 +17,13 @@ handling:
   ALL-PAIRS (O(n·cap) per bucket — the round-3 within-shard star lost a
   near-dup pair whenever its shard rep was dissimilar); shard minima
   pair all-pairs across shards (rep clique, <= C(max_salt_shards, 2)
-  per bucket). Only a shard wider than ``cfg.shard_allpairs_cap`` (a
-  mega-bucket beyond cap·max_shards members) degrades to the star, and
-  that residual loss — plus cross-shard non-rep pairs, the only other
-  coverage gap — is counted in the returned stats, never silent.
+  per bucket). Two fallbacks degrade a shard to the min-id star: a
+  shard wider than ``cfg.shard_allpairs_cap``, and a whole bucket
+  bigger than ``cfg.allpairs_bucket_limit`` (a shared-boilerplate band
+  flood, overwhelmingly sub-threshold content — a true near-dup pair
+  there still co-locates in another band with probability ~1). The
+  residual loss — star-covered shards plus cross-shard non-rep pairs —
+  is counted in the returned stats, never silent.
 
 Verification computes the EXACT shingle Jaccard by re-shingling the two
 candidate texts per Arrow batch (vectorized numpy — see
@@ -103,11 +106,17 @@ def candidate_pairs(
         "salt", F.pmod(F.xxhash64("doc_id"), n_shards)
     ).withColumn("shard_size", F.count(F.lit(1)).over(wsh))
 
-    # within-shard ALL-PAIRS for shards of bounded width — this is what
-    # recovers the round-3 within-shard near-dup recall gap (a non-rep
-    # pair in one shard now meets directly instead of via a possibly
-    # dissimilar shard rep)
-    ap = salted.filter(F.col("shard_size") <= cfg.shard_allpairs_cap)
+    # within-shard ALL-PAIRS for shards of bounded width in buckets of
+    # bounded size — this is what recovers the round-3 within-shard
+    # near-dup recall gap (a non-rep pair in one shard now meets directly
+    # instead of via a possibly dissimilar shard rep). Mega-buckets
+    # (> allpairs_bucket_limit members: shared-boilerplate band floods)
+    # keep the O(n) star — their content is overwhelmingly sub-threshold
+    # and a true near-dup pair there still co-locates in another band.
+    ap = salted.filter(
+        (F.col("shard_size") <= cfg.shard_allpairs_cap)
+        & (F.col("bucket_size") <= cfg.allpairs_bucket_limit)
+    )
     sa = ap.select("band_id", "band_hash", "salt", F.col("doc_id").alias("src"))
     sb = ap.select("band_id", "band_hash", "salt", F.col("doc_id").alias("dst"))
     pairs_shard = (
@@ -116,13 +125,16 @@ def candidate_pairs(
         .select("src", "dst")
     )
 
-    # star fallback only for a shard wider than the all-pairs cap (a
-    # mega-bucket beyond ~cap*max_shards members); its loss is counted
+    # star fallback for everything outside the all-pairs regime (an
+    # over-wide shard or a mega-bucket); its loss is counted in stats
     shard_min = salted.groupBy("band_id", "band_hash", "salt").agg(
         F.min("doc_id").alias("rep")
     )
     star_over = (
-        salted.filter(F.col("shard_size") > cfg.shard_allpairs_cap)
+        salted.filter(
+            (F.col("shard_size") > cfg.shard_allpairs_cap)
+            | (F.col("bucket_size") > cfg.allpairs_bucket_limit)
+        )
         .join(shard_min, ["band_id", "band_hash", "salt"])
         .filter(F.col("doc_id") != F.col("rep"))
         .select(F.col("rep").alias("src"), F.col("doc_id").alias("dst"))
@@ -167,14 +179,18 @@ def candidate_pairs(
         F.max("bucket_size").alias("max_bucket"),
     )
     shard_sizes = salted.groupBy("band_id", "band_hash", "salt").agg(
-        F.count(F.lit(1)).alias("w")
+        F.count(F.lit(1)).alias("w"),
+        F.first("bucket_size").alias("bucket_size"),
     )
     w = F.col("w")
+    allpairs_shard = (w <= cfg.shard_allpairs_cap) & (
+        F.col("bucket_size") <= cfg.allpairs_bucket_limit
+    )
     per_bucket = shard_sizes.groupBy("band_id", "band_hash").agg(
         F.sum(w).alias("n"),
         F.count(F.lit(1)).alias("s"),
         F.sum(
-            F.when(w <= cfg.shard_allpairs_cap, w * (w - 1) / 2).otherwise(w - 1)
+            F.when(allpairs_shard, w * (w - 1) / 2).otherwise(w - 1)
         ).alias("covered_within"),
     )
     trunc = per_bucket.agg(
