@@ -53,10 +53,22 @@ def candidate_pairs(
     bands: DataFrame,
     cfg: DedupConfig = DEFAULT_CONFIG,
     cache_handles: list | None = None,
+    payload_col: str | None = None,
+    pair_predicate=None,
 ) -> tuple[DataFrame, DataFrame]:
     """(pairs, stats) — pairs(src, dst) with src < dst, distinct across
     bands; stats is a tiny DataFrame of hot-bucket truncation metrics for
     the lineage sink (no silent caps).
+
+    ``payload_col`` names a SMALL per-doc column in ``bands`` (e.g. the
+    8-byte SimHash fingerprint) to carry through every pair branch as
+    ``p_src``/``p_dst``; ``pair_predicate(p_src, p_dst)`` is then a
+    cheap JVM verification applied BEFORE the canonicalizing distinct —
+    the exchange dedups verified survivors instead of the raw candidate
+    stream (orders of magnitude smaller in hot corpora), and the caller
+    needs no join-back to re-attach the payload. Only for byte-small
+    payloads: text/vectors must keep the join-back verify path
+    (:func:`verify_pairs`).
 
     The bucket-keyed band table is persisted (four downstream consumers);
     callers that own no session-wide clearCache (standalone operators)
@@ -74,17 +86,25 @@ def candidate_pairs(
     if cache_handles is not None:
         cache_handles.append(keyed)
 
+    out_cols = ["src", "dst"] + (["p_src", "p_dst"] if payload_col else [])
+
+    def _side(df: DataFrame, keys: list[str], role: str) -> DataFrame:
+        cols = [F.col(k) for k in keys] + [F.col("doc_id").alias(role)]
+        if payload_col:
+            cols.append(F.col(payload_col).alias(f"p_{role}"))
+        return df.select(*cols)
+
     dup_buckets = keyed.filter(F.col("bucket_size") >= 2)
     small = dup_buckets.filter(F.col("bucket_size") <= cfg.hot_bucket_cap)
     hot = dup_buckets.filter(F.col("bucket_size") > cfg.hot_bucket_cap)
 
     # ---- small buckets: exact all-pairs self-join (J1) ----
-    a = small.select("band_id", "band_hash", F.col("doc_id").alias("src"))
-    b = small.select("band_id", "band_hash", F.col("doc_id").alias("dst"))
+    bkeys = ["band_id", "band_hash"]
     pairs_small = (
-        a.join(b, ["band_id", "band_hash"])
+        _side(small, bkeys, "src")
+        .join(_side(small, bkeys, "dst"), bkeys)
         .filter(F.col("src") < F.col("dst"))
-        .select("src", "dst")
+        .select(*out_cols)
     )
 
     # ---- hot buckets: adaptive salt + within-shard all-pairs + rep clique ----
@@ -117,46 +137,64 @@ def candidate_pairs(
         (F.col("shard_size") <= cfg.shard_allpairs_cap)
         & (F.col("bucket_size") <= cfg.allpairs_bucket_limit)
     )
-    sa = ap.select("band_id", "band_hash", "salt", F.col("doc_id").alias("src"))
-    sb = ap.select("band_id", "band_hash", "salt", F.col("doc_id").alias("dst"))
+    skeys = ["band_id", "band_hash", "salt"]
     pairs_shard = (
-        sa.join(sb, ["band_id", "band_hash", "salt"])
+        _side(ap, skeys, "src")
+        .join(_side(ap, skeys, "dst"), skeys)
         .filter(F.col("src") < F.col("dst"))
-        .select("src", "dst")
+        .select(*out_cols)
     )
 
     # star fallback for everything outside the all-pairs regime (an
     # over-wide shard or a mega-bucket); its loss is counted in stats
-    shard_min = salted.groupBy("band_id", "band_hash", "salt").agg(
-        F.min("doc_id").alias("rep")
-    )
+    rep_aggs = [F.min("doc_id").alias("rep")]
+    if payload_col:
+        rep_aggs.append(F.min_by(payload_col, "doc_id").alias("p_rep"))
+    shard_min = salted.groupBy(*skeys).agg(*rep_aggs)
     star_over = (
-        salted.filter(
-            (F.col("shard_size") > cfg.shard_allpairs_cap)
-            | (F.col("bucket_size") > cfg.allpairs_bucket_limit)
+        _side(
+            salted.filter(
+                (F.col("shard_size") > cfg.shard_allpairs_cap)
+                | (F.col("bucket_size") > cfg.allpairs_bucket_limit)
+            ),
+            skeys,
+            "dst",
         )
-        .join(shard_min, ["band_id", "band_hash", "salt"])
-        .filter(F.col("doc_id") != F.col("rep"))
-        .select(F.col("rep").alias("src"), F.col("doc_id").alias("dst"))
-    )
-    ra = shard_min.select("band_id", "band_hash", F.col("rep").alias("src"))
-    rb = shard_min.select("band_id", "band_hash", F.col("rep").alias("dst"))
-    rep_clique = (
-        ra.join(rb, ["band_id", "band_hash"])
-        .filter(F.col("src") < F.col("dst"))
-        .select("src", "dst")
+        .join(shard_min, skeys)
+        .filter(F.col("dst") != F.col("rep"))
+        # rep = shard min < every other member, so src < dst holds
+        .select(
+            F.col("rep").alias("src"),
+            "dst",
+            *([F.col("p_rep").alias("p_src"), "p_dst"] if payload_col else []),
+        )
     )
 
-    pairs = (
+    def _rep_side(role: str) -> DataFrame:
+        cols = [F.col("band_id"), F.col("band_hash"), F.col("rep").alias(role)]
+        if payload_col:
+            cols.append(F.col("p_rep").alias(f"p_{role}"))
+        return shard_min.select(*cols)
+
+    rep_clique = (
+        _rep_side("src")
+        .join(_rep_side("dst"), bkeys)
+        .filter(F.col("src") < F.col("dst"))
+        .select(*out_cols)
+    )
+
+    # every branch already emits src < dst (self-joins filter it; the
+    # star's src is the shard MINIMUM), so canonicalization is just the
+    # cross-band dedup. The predicate runs BEFORE it: the exchange then
+    # carries verified survivors, not the raw candidate stream.
+    union = (
         pairs_small.unionByName(pairs_shard)
         .unionByName(star_over)
         .unionByName(rep_clique)
-        .select(
-            F.least("src", "dst").alias("src"),
-            F.greatest("src", "dst").alias("dst"),
-        )
-        .distinct()
     )
+    if pair_predicate is not None:
+        union = union.filter(pair_predicate(F.col("p_src"), F.col("p_dst")))
+    pairs = union.dropDuplicates(["src", "dst"])
 
     # per-bucket rows for the skew stats (runs once, over the persisted
     # keyed table, in the caller's stats.collect() job).
@@ -346,8 +384,31 @@ def simhash_candidate_pairs(
     (edges, stats) where stats is the one-row skew/truncation DataFrame
     from :func:`candidate_pairs` (computed over distinct-fingerprint
     buckets).
+
+    The all-pairs bucket limit is TIGHTENED to 8·hot_bucket_cap here
+    (vs the text tier's cfg.allpairs_bucket_limit): correlated corpora
+    (shared boilerplate halves) produce thousands-wide 16-bit-chunk
+    buckets of DISTINCT, overwhelmingly Hamming-far fingerprints —
+    measured 1,060 hot buckets up to 3,917 members at 1M pages — and
+    paying n·cap/2 Hamming probes per such bucket tripled this query's
+    wall. Buckets up to 512 keep full within-shard all-pairs (strictly
+    MORE recall than the round-3 all-star policy at every size); larger
+    ones take the O(n) star with the skipped count in stats. The
+    documented production upgrade when radius-3 recall inside mega
+    chunk-buckets matters is wider keys: Manku/Jarvelin/Sarma (WWW'07)
+    block permutation — C(6,3)=20 tables keyed on ~32 bits, which
+    shrinks buckets by 2^16 and removes the hot tail entirely at 5x
+    band-table rows.
     """
+    from dataclasses import replace as _replace
+
     assert hamming_radius <= n_chunks - 1
+    cfg = _replace(
+        cfg,
+        allpairs_bucket_limit=min(
+            cfg.allpairs_bucket_limit, 8 * cfg.hot_bucket_cap
+        ),
+    )
     sims = signatures.select(F.col("doc_id").cast("long").alias("doc_id"), "simhash")
     # stage 1: one rep per fingerprint; groupBy (partial combine) is
     # scale-safe; the join back is a plain equi join on simhash where a
@@ -368,6 +429,7 @@ def simhash_candidate_pairs(
     width = 64 // n_chunks
     chunks = distinct_fp.select(
         "doc_id",
+        "simhash",
         F.explode(
             F.array(*[
                 F.struct(
@@ -379,22 +441,25 @@ def simhash_candidate_pairs(
                 for i in range(n_chunks)
             ])
         ).alias("c"),
-    ).select("doc_id", F.col("c.band_id"), F.col("c.band_hash"))
+    ).select("doc_id", "simhash", F.col("c.band_id"), F.col("c.band_hash"))
 
-    pairs, stats = candidate_pairs(chunks, cfg, cache_handles=cache_handles)
-    withsim = (
-        pairs.join(
-            distinct_fp.select(F.col("doc_id").alias("src"), F.col("simhash").alias("sim_src")),
-            "src",
-        )
-        .join(
-            distinct_fp.select(F.col("doc_id").alias("dst"), F.col("simhash").alias("sim_dst")),
-            "dst",
-        )
+    # the fingerprint IS the payload (8 bytes): the Hamming verification
+    # runs INSIDE the pair generator, before the cross-band distinct —
+    # no join-back to re-attach fingerprints, and the distinct dedups
+    # ~|edges| survivors instead of the raw candidate stream (the latter
+    # is ~100x bigger on boilerplate-correlated corpora)
+    pairs, stats = candidate_pairs(
+        chunks,
+        cfg,
+        cache_handles=cache_handles,
+        payload_col="simhash",
+        pair_predicate=lambda a, b: F.bit_count(a.bitwiseXOR(b))
+        <= F.lit(hamming_radius),
     )
-    ham = F.bit_count(F.col("sim_src").bitwiseXOR(F.col("sim_dst")))
-    rep_edges = withsim.filter(ham <= hamming_radius).select(
-        "src", "dst", ham.alias("hamming")
+    rep_edges = pairs.select(
+        "src",
+        "dst",
+        F.bit_count(F.col("p_src").bitwiseXOR(F.col("p_dst"))).alias("hamming"),
     )
     edges = star0.unionByName(rep_edges)
     return (edges, stats) if return_stats else edges
