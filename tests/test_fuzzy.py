@@ -317,3 +317,46 @@ def test_hot_bucket_within_shard_allpairs_recall(spark):
     assert (min(b1, b2), max(b1, b2)) in got_star
     for h in caches2:
         h.unpersist()
+
+
+def test_candidate_pairs_payload_branches(spark):
+    """Payload columns must survive every pair branch — small all-pairs,
+    within-shard all-pairs, the star (whose rep payload comes from
+    min_by), and the rep clique — and the pair predicate must filter the
+    stream (it runs before the cross-band distinct)."""
+    ids = list(range(10))
+    bands = spark.createDataFrame(
+        [(0, 0, i, i * 10) for i in ids],
+        "band_id int, band_hash long, doc_id long, tag long",
+    )
+
+    # star regime: every shard wider than 1 degrades to min-id star
+    cfg_star = replace(
+        DEFAULT_CONFIG, hot_bucket_cap=4, salt_shards=2, max_salt_shards=2,
+        shard_allpairs_cap=1,
+    )
+    pairs, _ = candidate_pairs(bands, cfg_star, payload_col="tag")
+    rows = {(r.src, r.dst): (r.p_src, r.p_dst) for r in pairs.collect()}
+    assert rows, "star regime produced no pairs"
+    for (s, d), (ps, pd_) in rows.items():
+        assert (ps, pd_) == (s * 10, d * 10), (s, d, ps, pd_)
+
+    # all-pairs regime: full coverage with correct payloads
+    cfg_ap = replace(DEFAULT_CONFIG, hot_bucket_cap=4, salt_shards=2,
+                     max_salt_shards=2)
+    pairs2, _ = candidate_pairs(bands, cfg_ap, payload_col="tag")
+    rows2 = {(r.src, r.dst): (r.p_src, r.p_dst) for r in pairs2.collect()}
+    for (s, d), (ps, pd_) in rows2.items():
+        assert (ps, pd_) == (s * 10, d * 10)
+
+    # predicate filters the stream (only near-tag pairs survive)
+    pairs3, _ = candidate_pairs(
+        bands, cfg_ap, payload_col="tag",
+        pair_predicate=lambda a, b: (b - a) <= F.lit(10),
+    )
+    got3 = {(r.src, r.dst) for r in pairs3.collect()}
+    assert got3 and all(d - s == 1 for s, d in got3)
+
+    # no payload: legacy shape (src, dst) only
+    pairs4, _ = candidate_pairs(bands, cfg_ap)
+    assert pairs4.columns == ["src", "dst"]
