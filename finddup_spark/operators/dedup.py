@@ -147,8 +147,12 @@ def simhash_dedup(
     cfg: DedupConfig = DEFAULT_CONFIG,
     id_col: str = "doc_id",
     text_col: str = "text",
+    n_blocks: int | None = None,
 ) -> DataFrame:
-    """SimHash dedup: Hamming-ball clustering via bit-chunk pigeonhole.
+    """SimHash dedup: Hamming-ball clustering via bit-chunk pigeonhole
+    (or Manku wide-key block tables when ``n_blocks`` is set — see
+    :func:`~finddup_spark.operators.lsh.simhash_candidate_pairs`; the
+    verified edge set, and therefore the clustering, is identical).
 
     No silent caps: the hot-bucket truncation stats from the salted pair
     generator are collected (a one-row aggregate over the already-persisted
@@ -163,7 +167,7 @@ def simhash_dedup(
     caches: list = [sigs]
     cand, stats = simhash_candidate_pairs(
         sigs, hamming_radius=hamming_radius, cfg=cfg, cache_handles=caches,
-        return_stats=True,
+        return_stats=True, n_blocks=n_blocks,
     )
     cl = connected_components(
         cand.select("src", "dst"), vertices=docs.select(F.col(id_col).alias("doc_id"))

@@ -340,6 +340,31 @@ def verify_pairs(
     )
 
 
+def simhash_block_keys(n_blocks: int, hamming_radius: int) -> list[tuple]:
+    """The (combo, widths, offsets) table spec for Manku-style block
+    keys: 64 bits split into ``n_blocks`` near-equal blocks; one table
+    per (n_blocks - hamming_radius)-combination of block indices, keyed
+    on the CONCATENATION of those blocks. A Hamming <= r pair differs in
+    at most r blocks, so at least one combination is all-equal — the
+    same pigeonhole as the chunk scheme but with ~(64/B)·(B-r)-bit keys
+    instead of 16-bit ones (Manku/Jarvelin/Sarma, "Detecting
+    Near-Duplicates for Web Crawling", WWW'07: wider keys shrink bucket
+    occupancy exponentially, trading C(B, B-r) table rows per doc)."""
+    import itertools
+
+    base, rem = divmod(64, n_blocks)
+    widths = [base + (1 if i < rem else 0) for i in range(n_blocks)]
+    offsets = []
+    off = 0
+    for wd in widths:
+        offsets.append(off)
+        off += wd
+    return [
+        (combo, widths, offsets)
+        for combo in itertools.combinations(range(n_blocks), n_blocks - hamming_radius)
+    ]
+
+
 def simhash_candidate_pairs(
     signatures: DataFrame,
     hamming_radius: int = 3,
@@ -347,6 +372,7 @@ def simhash_candidate_pairs(
     cfg: DedupConfig = DEFAULT_CONFIG,
     cache_handles: list | None = None,
     return_stats: bool = False,
+    n_blocks: int | None = None,
 ):
     """SimHash near-dup candidates by pivoted exact-match on bit-chunks.
 
@@ -395,10 +421,16 @@ def simhash_candidate_pairs(
     MORE recall than the round-3 all-star policy at every size); larger
     ones take the O(n) star with the skipped count in stats. The
     documented production upgrade when radius-3 recall inside mega
-    chunk-buckets matters is wider keys: Manku/Jarvelin/Sarma (WWW'07)
-    block permutation — C(6,3)=20 tables keyed on ~32 bits, which
-    shrinks buckets by 2^16 and removes the hot tail entirely at 5x
-    band-table rows.
+    chunk-buckets matters is wider keys — implemented as the
+    ``n_blocks`` option below.
+
+    ``n_blocks`` (e.g. 6 for radius 3) switches candidate generation to
+    the Manku wide-key block-combination tables from
+    :func:`simhash_block_keys` — C(n_blocks, n_blocks-r) tables keyed on
+    ~32 bits instead of 4 tables keyed on 16, which removes the hot
+    chunk-bucket tail on correlated corpora at 5x band-table rows. The
+    verified edge set is IDENTICAL either way (both schemes are
+    recall-complete for Hamming <= r and verification is exact).
     """
     from dataclasses import replace as _replace
 
@@ -426,21 +458,41 @@ def simhash_candidate_pairs(
     )
     distinct_fp = reps.select(F.col("rep").alias("doc_id"), "simhash")
 
-    width = 64 // n_chunks
+    if n_blocks is not None:
+        # Manku wide-key tables: one per (n_blocks - r)-combination of
+        # near-equal bit blocks, keyed on their concatenation (~32 bits
+        # at B=6, r=3) — bucket occupancy shrinks by ~2^(key_bits - 16)
+        # vs the chunk scheme, removing the hot tail on correlated
+        # fingerprint spaces
+        assert n_blocks > hamming_radius
+        structs = []
+        for tid, (combo, widths, offsets) in enumerate(
+            simhash_block_keys(n_blocks, hamming_radius)
+        ):
+            key = F.lit(0).cast("long")
+            for idx in combo:
+                block = F.shiftrightunsigned(
+                    F.col("simhash"), offsets[idx]
+                ).bitwiseAND(F.lit((1 << widths[idx]) - 1))
+                key = F.shiftleft(key, widths[idx]).bitwiseOR(block)
+            structs.append(
+                F.struct(F.lit(tid).alias("band_id"), key.alias("band_hash"))
+            )
+    else:
+        width = 64 // n_chunks
+        structs = [
+            F.struct(
+                F.lit(i).alias("band_id"),
+                F.shiftrightunsigned(F.col("simhash"), i * width)
+                .bitwiseAND(F.lit((1 << width) - 1))
+                .alias("band_hash"),
+            )
+            for i in range(n_chunks)
+        ]
     chunks = distinct_fp.select(
         "doc_id",
         "simhash",
-        F.explode(
-            F.array(*[
-                F.struct(
-                    F.lit(i).alias("band_id"),
-                    F.shiftrightunsigned(F.col("simhash"), i * width)
-                    .bitwiseAND(F.lit((1 << width) - 1))
-                    .alias("band_hash"),
-                )
-                for i in range(n_chunks)
-            ])
-        ).alias("c"),
+        F.explode(F.array(*structs)).alias("c"),
     ).select("doc_id", "simhash", F.col("c.band_id"), F.col("c.band_hash"))
 
     # the fingerprint IS the payload (8 bytes): the Hamming verification

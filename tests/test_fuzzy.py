@@ -360,3 +360,84 @@ def test_candidate_pairs_payload_branches(spark):
     # no payload: legacy shape (src, dst) only
     pairs4, _ = candidate_pairs(bands, cfg_ap)
     assert pairs4.columns == ["src", "dst"]
+
+
+def test_simhash_block_tables_vs_brute_force(spark):
+    """Manku wide-key block tables (n_blocks=6, C(6,3)=20 tables of
+    ~32-bit keys) on a correlated corpus — the shared-prefix pattern
+    that floods 16-bit chunk buckets: the wide keys dissolve the hot
+    tail, and when no bucket is truncated the verified edge set equals
+    the brute-force Hamming<=r ground truth EXACTLY (pigeonhole
+    completeness + exact verification). The chunk scheme on the same
+    corpus is a subset of truth (its floods are star-truncated, counted
+    in stats), and both schemes find every planted near pair."""
+    import numpy as np
+
+    rng = np.random.default_rng(11)
+    n = 4000
+    # correlated corpus: upper 32 bits NEARLY shared by whole cohorts
+    # (each doc flips 2 random upper bits — the realistic boilerplate
+    # pattern: heavy bit-vote correlation, not byte-identical halves),
+    # lower 32 random. A 16-bit chunk of the upper half survives both
+    # flips with P=.25 → chunk buckets of ~250 same-value docs (hot);
+    # any ~32-bit block-combo key overlapping the flips almost never
+    # repeats → the wide keys stay cool.
+    cohort = rng.integers(0, 4, size=n)
+    shared = np.array([0x1234ABCD00000000, 0x1234ABCE00000000,
+                       0x77770000AAAA0000, 0x00FF00FF00000000], dtype=np.uint64)
+    lows = rng.integers(0, 1 << 32, size=n, dtype=np.uint64)
+    f1 = (np.uint64(1) << rng.integers(32, 64, size=n, dtype=np.uint64))
+    f2 = (np.uint64(1) << rng.integers(32, 64, size=n, dtype=np.uint64))
+    fps = ((shared[cohort] | lows) ^ f1 ^ f2).astype(np.int64)
+    # planted Hamming<=3 pairs at fresh ids
+    base = rng.integers(0, 1 << 63, size=20, dtype=np.uint64).astype(np.int64)
+    rows = [(int(i), int(fps[i])) for i in range(n)]
+    pid = n
+    planted = []
+    for b in base:
+        rows.append((pid, int(b)))
+        flipped = int(b) ^ (1 << int(rng.integers(0, 64)))
+        flipped ^= 1 << int(rng.integers(0, 64))
+        rows.append((pid + 1, flipped))
+        planted.append((pid, pid + 1))
+        pid += 2
+    sigs = spark.createDataFrame(rows, "doc_id long, simhash long")
+
+    chunk_edges, chunk_stats = simhash_candidate_pairs(
+        sigs, hamming_radius=3, return_stats=True
+    )
+    block_edges, block_stats = simhash_candidate_pairs(
+        sigs, hamming_radius=3, n_blocks=6, return_stats=True
+    )
+    ce = {(r.src, r.dst, r.hamming) for r in chunk_edges.collect()}
+    be = {(r.src, r.dst, r.hamming) for r in block_edges.collect()}
+
+    # brute-force Hamming<=3 ground truth (numpy popcount via 8-bit LUT)
+    ids = np.array([r[0] for r in rows], dtype=np.int64)
+    vals = np.array([r[1] for r in rows], dtype=np.int64).astype(np.uint64)
+    lut = np.array([bin(i).count("1") for i in range(256)], dtype=np.uint8)
+    truth = set()
+    for i in range(len(ids)):
+        x = (vals[i] ^ vals).view(np.uint8).reshape(-1, 8)
+        ham = lut[x].sum(axis=1)
+        for j in np.nonzero(ham <= 3)[0]:
+            if ids[i] < ids[j]:
+                truth.add((int(ids[i]), int(ids[j]), int(ham[j])))
+
+    cs = chunk_stats.collect()[0]
+    bs = block_stats.collect()[0]
+    assert cs.hot_buckets > 0            # 16-bit chunks DO flood here
+    assert bs.hot_buckets < cs.hot_buckets
+    assert bs.max_bucket < cs.max_bucket
+    # wide keys left nothing truncated → block edges ARE the ground truth
+    assert (bs.pairs_truncated_upper_bound or 0) == 0
+    assert be == truth
+    # the chunk scheme never invents an edge; anything it lost is inside
+    # its star-truncated floods, whose skipped count the stats report
+    assert ce <= truth
+    assert len(truth) - len(ce) <= cs.pairs_truncated_upper_bound
+    # every planted pair is found by BOTH schemes
+    got_c = {(s, d) for s, d, _ in ce}
+    got_b = {(s, d) for s, d, _ in be}
+    for s, d in planted:
+        assert (s, d) in got_b and (s, d) in got_c, (s, d)
