@@ -428,9 +428,14 @@ def simhash_candidate_pairs(
     the Manku wide-key block-combination tables from
     :func:`simhash_block_keys` — C(n_blocks, n_blocks-r) tables keyed on
     ~32 bits instead of 4 tables keyed on 16, which removes the hot
-    chunk-bucket tail on correlated corpora at 5x band-table rows. The
-    verified edge set is IDENTICAL either way (both schemes are
-    recall-complete for Hamming <= r and verification is exact).
+    chunk-bucket tail on correlated corpora at 5x band-table rows.
+    Measured tradeoff at 1.09M pages, local[32]: chunks ~28s end-to-end
+    vs blocks ~44s (the 5x band explode+window outweighs the dissolved
+    hot tail once mega-buckets are star-capped anyway) — so chunks stay
+    the DEFAULT and blocks are the recall-first choice when Hamming
+    pairs inside mega chunk-buckets must not be star-truncated (blocks
+    leave ZERO truncation on such corpora; see
+    tests/test_fuzzy.py::test_simhash_block_tables_vs_brute_force).
     """
     from dataclasses import replace as _replace
 
