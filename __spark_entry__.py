@@ -959,6 +959,32 @@ def _q_png_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _q_resize_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Decode → RESIZE → re-encode → decode chain, fully oracled: the
+    closed-form PNG corpus is nearest-neighbor-resampled to 8x6
+    (integer mapping src_col = tx*sw//8, src_row = ty*sh//6), re-encoded
+    as PPM, decoded again, and the oracle recomputes every resized
+    pixel from the closed form — the image-normalization step of a
+    multimodal training pipeline with both codecs exercised in one
+    chain."""
+    from finddup_spark.operators.multimodal import (
+        decode_media,
+        resize_media,
+        synthesize_png_media,
+    )
+
+    media = synthesize_png_media(_docs(spark, sf_dir).select("doc_id"))
+    resized = resize_media(media, out_w=8, out_h=6)
+    return decode_media(resized).select(
+        F.col("doc_id").cast("long").alias("doc_id"),
+        "kind",
+        F.col("width").cast("long").alias("width"),
+        F.col("height").cast("long").alias("height"),
+        F.col("n_pixels").cast("long").alias("n_pixels"),
+        "mean_pixel",
+    )
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "exact_block_sizes": _q_exact_block_sizes,
@@ -991,6 +1017,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ivf_topk": _q_ivf_topk,
         "media_stats": _q_media_stats,
         "png_stats": _q_png_stats,
+        "resize_stats": _q_resize_stats,
         "anti_join_uniques": _q_anti_join_uniques,
         "pipeline_pages": _q_pipeline_pages,
         "site_rollup": _q_site_rollup,
@@ -1702,6 +1729,37 @@ def oracle_sql() -> dict[str, str]:
                    CAST(d.w * d.h AS BIGINT) AS n_pixels,
                    round(p.s * 1.0 / p.nb, 6) AS mean_pixel
             FROM dims d JOIN px p USING (doc_id)
+        """,
+        "resize_stats": """
+            -- resized pixel (tx, ty, c) samples source byte
+            -- i = ((ty*sh//6)*sw + (tx*sw//8))*3 + c of the closed-form
+            -- image (value = (doc_id*7 + i*31) % 256); integer mapping
+            -- mirrors resize_media exactly
+            WITH dims AS (
+                SELECT doc_id,
+                       4 + doc_id % 5 AS sw,
+                       3 + doc_id % 4 AS sh
+                FROM documents
+            ),
+            px AS (
+                SELECT d.doc_id,
+                       sum((d.doc_id * 7 +
+                            ((((ty.i * d.sh) // 6) * d.sw
+                              + ((tx.i * d.sw) // 8)) * 3 + c.i) * 31
+                           ) % 256) AS s
+                FROM dims d,
+                     UNNEST(generate_series(0, 5)) AS ty(i),
+                     UNNEST(generate_series(0, 7)) AS tx(i),
+                     UNNEST(generate_series(0, 2)) AS c(i)
+                GROUP BY d.doc_id
+            )
+            SELECT CAST(p.doc_id AS BIGINT) AS doc_id,
+                   'ppm' AS kind,
+                   CAST(8 AS BIGINT) AS width,
+                   CAST(6 AS BIGINT) AS height,
+                   CAST(48 AS BIGINT) AS n_pixels,
+                   round(p.s * 1.0 / 144, 6) AS mean_pixel
+            FROM px p
         """,
         "cross_modal_dedup": f"""
             WITH RECURSIVE pl AS (

@@ -419,6 +419,67 @@ def fake_decode_stats(media: DataFrame) -> DataFrame:
     return media.select("doc_id", "kind", "payload").mapInPandas(fn, _STATS_SCHEMA)
 
 
+def resize_media(media: DataFrame, out_w: int, out_h: int) -> DataFrame:
+    """Nearest-neighbor image resize over decodable payloads — the
+    training-pipeline image-normalization step, composing with
+    :func:`decode_media` (decode → transform → re-encode, same Arrow
+    batch plumbing). ``kind='ppm'``/``'png'`` payloads decode with the
+    stdlib codecs, are resampled to (out_w, out_h) and re-encoded as
+    PPM P6; the mapping is pure integer arithmetic —
+    ``src_col = (tx * src_w) // out_w``, ``src_row = (ty * src_h) //
+    out_h`` — so a SQL oracle can recompute the resized pixels of a
+    closed-form corpus exactly. Undecodable payloads emit a NULL-payload
+    lineage row (kind preserved) instead of vanishing."""
+    out_schema = StructType(
+        [
+            StructField("doc_id", LongType()),
+            StructField("kind", StringType()),
+            StructField("payload", BinaryType()),
+        ]
+    )
+
+    def fn(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            ids, kinds, payloads = [], [], []
+            for did, kind, payload in zip(
+                pdf["doc_id"].values, pdf["kind"].values, pdf["payload"].values
+            ):
+                blob = None
+                try:
+                    if kind == "ppm":
+                        w, h, _maxval, data = _parse_ppm(bytes(payload))
+                    elif kind == "png":
+                        w, h, data = _parse_png(bytes(payload))
+                    else:
+                        raise ValueError(f"no stdlib codec for kind {kind!r}")
+                    img = data.reshape(h, w, 3)
+                    rows_idx = (np.arange(out_h, dtype=np.int64) * h) // out_h
+                    cols_idx = (np.arange(out_w, dtype=np.int64) * w) // out_w
+                    rz = np.ascontiguousarray(img[rows_idx][:, cols_idx])
+                    blob = b"P6\n%d %d\n255\n" % (out_w, out_h) + rz.tobytes()
+                except (ValueError, OSError):
+                    blob = None
+                ids.append(did)
+                kinds.append("ppm" if blob is not None else kind)
+                payloads.append(blob)
+            yield pd.DataFrame(
+                {
+                    "doc_id": pd.Series(ids, dtype="int64"),
+                    "kind": kinds,
+                    "payload": payloads,
+                }
+            )
+
+    return media.select("doc_id", "kind", "payload").mapInPandas(
+        fn, out_schema
+    ).select(
+        "doc_id", "kind", "payload",
+        F.create_map(
+            F.lit("resized"), F.concat_ws("x", F.lit(out_w), F.lit(out_h))
+        ).alias("meta"),
+    )
+
+
 def frame_sample(media: DataFrame, n_frames: int = 4, frame_bytes: int = 64) -> DataFrame:
     """'Video' frame sampling plumbing: slice each payload into n evenly
     spaced fixed-width windows → (doc_id, frame_id, frame binary). The

@@ -829,3 +829,44 @@ def test_boilerplate_hashed_matches_string(spark, tiny_corpus):
     pd.testing.assert_frame_equal(a, b)
     assert dict(doc_shingles(pages, hashed=True).dtypes)["shingle"] == "bigint"
     assert dict(doc_shingles(pages, hashed=False).dtypes)["shingle"] == "string"
+
+
+def test_resize_media_nearest_neighbor(spark):
+    """resize_media: exact nearest-neighbor semantics on a known image
+    (checked against numpy fancy indexing), downscale and upscale, PNG
+    and PPM inputs agree, and an undecodable payload becomes a
+    NULL-payload lineage row."""
+    from finddup_spark.operators.multimodal import (
+        _parse_ppm,
+        decode_media,
+        resize_media,
+        synthesize_png_media,
+        synthesize_ppm_media,
+    )
+
+    ids = spark.range(0, 12).select(F.col("id").alias("doc_id"))
+    for synth in (synthesize_png_media, synthesize_ppm_media):
+        media = synth(ids)
+        rz = resize_media(media, out_w=3, out_h=2).toPandas().set_index("doc_id")
+        for did in range(12):
+            sw, sh = 4 + did % 5, 3 + did % 4
+            nb = sw * sh * 3
+            src = ((did * 7 + np.arange(nb, dtype=np.int64) * 31) % 256).astype(
+                np.uint8
+            ).reshape(sh, sw, 3)
+            expect = src[(np.arange(2) * sh) // 2][:, (np.arange(3) * sw) // 3]
+            w, h, _m, data = _parse_ppm(bytes(rz.loc[did].payload))
+            assert (w, h) == (3, 2)
+            assert (data.reshape(2, 3, 3) == expect).all(), (synth.__name__, did)
+
+    # upscale roundtrips through decode_media with the right dims
+    up = decode_media(resize_media(synthesize_png_media(ids), 16, 10)).toPandas()
+    assert (up.width == 16).all() and (up.height == 10).all()
+
+    bad = spark.createDataFrame(
+        [(999, "webm", bytearray(b"\x00\x01")), (998, "png", bytearray(b"junk"))],
+        "doc_id long, kind string, payload binary",
+    )
+    brows = resize_media(bad, 3, 2).toPandas().set_index("doc_id")
+    assert brows.loc[999].payload is None and brows.loc[999].kind == "webm"
+    assert brows.loc[998].payload is None and brows.loc[998].kind == "png"
