@@ -985,6 +985,28 @@ def _q_resize_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _q_wav_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL audio decode, fully oracled — the THIRD modality: a
+    deterministic mono PCM16 RIFF/WAVE corpus is synthesized per doc_id
+    (rate = 8000*(1+id%3), n = 40+id%17, sample i = ((id*13 + i*37) %
+    65536) - 32768), parsed by the engine's pure-struct RIFF chunk walk
+    (fmt validation + data extraction — no codec library), and the
+    oracle recomputes n_samples / rate / duration / mean|amplitude| from
+    the closed form via generate_series without touching the binary."""
+    from finddup_spark.operators.multimodal import decode_audio, synthesize_wav_media
+
+    media = synthesize_wav_media(_docs(spark, sf_dir).select("doc_id"))
+    return decode_audio(media).select(
+        F.col("doc_id").cast("long").alias("doc_id"),
+        "kind",
+        F.col("n_samples").cast("long").alias("n_samples"),
+        F.col("sample_rate").cast("long").alias("sample_rate"),
+        F.col("channels").cast("long").alias("channels"),
+        "duration_ms",
+        "mean_abs_amp",
+    )
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "exact_block_sizes": _q_exact_block_sizes,
@@ -1018,6 +1040,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "media_stats": _q_media_stats,
         "png_stats": _q_png_stats,
         "resize_stats": _q_resize_stats,
+        "wav_stats": _q_wav_stats,
         "anti_join_uniques": _q_anti_join_uniques,
         "pipeline_pages": _q_pipeline_pages,
         "site_rollup": _q_site_rollup,
@@ -1760,6 +1783,33 @@ def oracle_sql() -> dict[str, str]:
                    CAST(48 AS BIGINT) AS n_pixels,
                    round(p.s * 1.0 / 144, 6) AS mean_pixel
             FROM px p
+        """,
+        "wav_stats": """
+            -- closed-form PCM16 corpus: rate = 8000*(1+id%3),
+            -- n = 40+id%17, sample i = ((id*13 + i*37) % 65536) - 32768;
+            -- the RIFF container round-trip is bit-exact so the oracle
+            -- recomputes the stats without touching the binary
+            WITH dims AS (
+                SELECT doc_id,
+                       8000 * (1 + doc_id % 3) AS rate,
+                       40 + doc_id % 17 AS n
+                FROM documents
+            ),
+            amp AS (
+                SELECT d.doc_id,
+                       avg(abs((d.doc_id * 13 + u.i * 37) % 65536 - 32768)) AS a
+                FROM dims d,
+                     UNNEST(generate_series(0, d.n - 1)) AS u(i)
+                GROUP BY d.doc_id
+            )
+            SELECT CAST(d.doc_id AS BIGINT) AS doc_id,
+                   'wav' AS kind,
+                   CAST(d.n AS BIGINT) AS n_samples,
+                   CAST(d.rate AS BIGINT) AS sample_rate,
+                   CAST(1 AS BIGINT) AS channels,
+                   round(d.n * 1000.0 / d.rate, 6) AS duration_ms,
+                   round(a.a, 6) AS mean_abs_amp
+            FROM dims d JOIN amp a USING (doc_id)
         """,
         "cross_modal_dedup": f"""
             WITH RECURSIVE pl AS (

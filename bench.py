@@ -187,6 +187,66 @@ def control_speedup(low: int, high: int, seconds: float = 8.0) -> dict:
     return out
 
 
+def host_control(procs: int, reps_alu: int = 4000, reps_stream: int = 12) -> dict:
+    """FIXED-work hardware canary emitted with every full-suite bench —
+    the self-adjudication channel: reps are constants (never calibrated),
+    so the reported walls are comparable ACROSS rounds and across hosts.
+    A bench regression with unchanged control walls is a CODE regression;
+    one where the controls slowed proportionally is host drift (this
+    shared VM's per-core throughput swings ±15-30% — in round 4 that
+    ambiguity cost three adjudication re-runs).
+
+    Two kernels bracket the engine's mix (same rationale as
+    :func:`control_speedup`): cache-resident sha256 (pure per-core ALU)
+    and a DRAM-streaming sum over 128 MB (pure memory bandwidth). Each
+    reports the single-process wall (peak per-core throughput) and the
+    max wall with ``procs`` concurrent processes (throughput under the
+    bench's own concurrency — the like-for-like ceiling for local[N])."""
+    import multiprocessing as mp
+
+    import numpy as np
+
+    data = b"x" * 65536
+
+    def worker_alu(reps: int, barrier, out) -> None:
+        import hashlib
+
+        barrier.wait()
+        t0 = time.monotonic()
+        for _ in range(reps):
+            hashlib.sha256(data).digest()
+        out.put(time.monotonic() - t0)
+
+    def worker_stream(reps: int, barrier, out) -> None:
+        arr = np.empty((128 << 20) // 8, dtype=np.uint64)
+        arr[:] = 7
+        barrier.wait()
+        t0 = time.monotonic()
+        for _ in range(reps):
+            int(arr.sum())
+        out.put(time.monotonic() - t0)
+
+    def run_level(worker, reps: int, nproc: int) -> float:
+        q = mp.Queue()
+        b = mp.Barrier(nproc)
+        ps = [mp.Process(target=worker, args=(reps, b, q)) for _ in range(nproc)]
+        for p in ps:
+            p.start()
+        times = [q.get() for _ in ps]
+        for p in ps:
+            p.join()
+        return max(times)
+
+    out: dict = {"procs": procs, "alu_reps": reps_alu, "stream_reps": reps_stream}
+    for name, worker, reps in (
+        ("alu", worker_alu, reps_alu),
+        ("stream", worker_stream, reps_stream),
+    ):
+        out[f"{name}_wall_1"] = round(run_level(worker, reps, 1), 3)
+        out[f"{name}_wall_n"] = round(run_level(worker, reps, procs), 3)
+    return out
+
+
 def q_exact(spark, sf_dir: str) -> int:
     from finddup_spark.operators.exact import exact_clusters
 
@@ -265,6 +325,11 @@ def run_bench(sf_dir: str, cores: int, only: str | None = None,
     import tempfile
 
     from finddup_spark.session import get_spark
+
+    # fixed-work hardware canary BEFORE the JVM exists (clean measurement);
+    # lands in the output JSON so any round-over-round wall delta can be
+    # attributed to code vs host from the record alone
+    control = host_control(cores)
 
     if shuffle_partitions is None:
         # data-sized, not cluster-sized: tens of MB of corpus text per
@@ -359,6 +424,7 @@ def run_bench(sf_dir: str, cores: int, only: str | None = None,
         "sf": _sf_of(sf_dir),
         "cores": cores,
         "n_pages": n_pages,
+        "host_control": control,
     }
     if "pipeline" in timings:
         result["pages_per_sec"] = round(n_pages / timings["pipeline"], 2)
@@ -485,6 +551,15 @@ def run_scaling(sf_dir: str, low: int, high: int, scale_rows: int,
     eff = speedup / (high / low)
     eff_norm = speedup / ctrl["control_speedup"]
     os.makedirs(os.path.join(REPO, "BENCH"), exist_ok=True)
+    # preserve the (manually curated) headline-query history section when
+    # regenerating the scaling report — the two live in one file
+    history = ""
+    baseline_path = os.path.join(REPO, "BENCH", "BASELINE.md")
+    if os.path.exists(baseline_path):
+        prev = open(baseline_path).read()
+        marker = "## Headline query history"
+        if marker in prev:
+            history = "\n" + prev[prev.index(marker):]
     with open(os.path.join(REPO, "BENCH", "legs.json"), "w") as f:
         json.dump({"control_median": ctrl, "controls": controls,
                    "legs": results}, f, indent=1, default=str)
@@ -517,6 +592,7 @@ def run_scaling(sf_dir: str, low: int, high: int, scale_rows: int,
             f"available (the cluster-predictive number: N -> 4N executors on a "
             f"real cluster adds machines, with no cross-level frequency coupling)\n"
             + METHODOLOGY_MD
+            + history
         )
     print(json.dumps({
         "metric": "scaling_efficiency",

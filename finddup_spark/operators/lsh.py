@@ -97,6 +97,16 @@ def candidate_pairs(
     dup_buckets = keyed.filter(F.col("bucket_size") >= 2)
     small = dup_buckets.filter(F.col("bucket_size") <= cfg.hot_bucket_cap)
     hot = dup_buckets.filter(F.col("bucket_size") > cfg.hot_bucket_cap)
+    # cardinality-dependent branch elision (the P4 strategy switch applied
+    # to the generator itself): ONE cached-scan probe decides whether the
+    # three hot-bucket branches exist at all. A skew-free corpus (or a
+    # collapsed one — exact_text_collapse removes the dominant floods)
+    # otherwise pays three empty-but-scheduled join branches per call;
+    # measured 14 AQE jobs / ~0.6 s of pure scheduling at 5k docs. When
+    # hot buckets DO exist the probe short-circuits on the first cached
+    # partition that yields a row — negligible against the branches it
+    # keeps. The probe also warms the keyed cache for every later branch.
+    has_hot = hot.limit(1).count() > 0
 
     # ---- small buckets: exact all-pairs self-join (J1) ----
     bkeys = ["band_id", "band_hash"]
@@ -187,14 +197,28 @@ def candidate_pairs(
     # star's src is the shard MINIMUM), so canonicalization is just the
     # cross-band dedup. The predicate runs BEFORE it: the exchange then
     # carries verified survivors, not the raw candidate stream.
-    union = (
-        pairs_small.unionByName(pairs_shard)
-        .unionByName(star_over)
-        .unionByName(rep_clique)
-    )
+    union = pairs_small
+    if has_hot:
+        union = (
+            union.unionByName(pairs_shard)
+            .unionByName(star_over)
+            .unionByName(rep_clique)
+        )
     if pair_predicate is not None:
         union = union.filter(pair_predicate(F.col("p_src"), F.col("p_dst")))
     pairs = union.dropDuplicates(["src", "dst"])
+    if cache_handles is not None:
+        # byte-small (two longs + optional small payload per row) and
+        # consumed at least twice downstream (verify_pairs derives its
+        # participant semi-join AND its pair join from it) — without the
+        # persist the whole 4-branch union + dedup exchange runs once per
+        # consumer (measured 43 extra AQE jobs / ~4 s per cross_modal call
+        # at 5k docs, and a full re-union at any scale). Callers that pass
+        # cache_handles own the unpersist; the write-to-table pipeline
+        # path (cache_handles=None) materializes pairs exactly once and
+        # needs no cache.
+        pairs = pairs.persist()
+        cache_handles.append(pairs)
 
     # per-bucket rows for the skew stats (runs once, over the persisted
     # keyed table, in the caller's stats.collect() job).

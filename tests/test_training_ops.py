@@ -704,6 +704,67 @@ def test_png_media_decode_matches_ppm(spark):
         assert list(png[col]) == list(ppm[col]), col
 
 
+def test_wav_codec_roundtrip_and_corrupt():
+    """The pure-struct RIFF/WAVE PCM16 codec must round-trip samples
+    bit-exactly (including an extra skipped chunk and odd-length
+    padding), and reject bad magic / truncation / non-PCM formats."""
+    import struct as _s
+
+    from finddup_spark.operators.multimodal import _encode_wav, _parse_wav
+
+    rng = np.random.default_rng(11)
+    samples = rng.integers(-32768, 32768, size=101, dtype=np.int64).astype(np.int16)
+    blob = _encode_wav(22050, samples)
+    rate, ch, out = _parse_wav(blob)
+    assert (rate, ch) == (22050, 1)
+    assert (out == samples).all()
+
+    # odd-size LIST chunk inserted before fmt: the walk must skip it and
+    # honor RIFF's pad-to-even rule
+    extra = b"LIST" + _s.pack("<I", 3) + b"abc" + b"\x00"
+    padded = blob[:12] + extra + blob[12:]
+    rate2, ch2, out2 = _parse_wav(
+        padded[:4] + _s.pack("<I", len(padded) - 8) + padded[8:]
+    )
+    assert rate2 == 22050 and (out2 == samples).all()
+
+    with pytest.raises(ValueError, match="RIFF"):
+        _parse_wav(b"OggS" + blob[4:])
+    with pytest.raises(ValueError, match="truncated"):
+        _parse_wav(blob[:-7])
+    # IEEE-float format tag → unsupported, never silently misread
+    mut = bytearray(blob)
+    fmt_off = blob.index(b"fmt ") + 8
+    mut[fmt_off:fmt_off + 2] = _s.pack("<H", 3)
+    with pytest.raises(ValueError, match="unsupported"):
+        _parse_wav(bytes(mut))
+
+
+def test_decode_audio_stats_and_null_rows(spark):
+    """decode_audio over the closed-form WAV corpus matches the closed
+    form; unreadable payloads (wrong kind, NULL payload) surface as
+    NULL-stats lineage rows instead of killing the task."""
+    from finddup_spark.operators.multimodal import decode_audio, synthesize_wav_media
+
+    ids = spark.range(0, 40).select(F.col("id").alias("doc_id"))
+    stats = decode_audio(synthesize_wav_media(ids)).toPandas().sort_values("doc_id")
+    for _, r in stats.iterrows():
+        did = int(r.doc_id)
+        n = 40 + did % 17
+        assert r.n_samples == n
+        assert r.sample_rate == 8000 * (1 + did % 3)
+        assert r.channels == 1
+        s = ((did * 13 + np.arange(n, dtype=np.int64) * 37) % 65536) - 32768
+        assert abs(r.mean_abs_amp - round(float(np.abs(s).mean()), 6)) < 1e-9
+
+    bad = spark.createDataFrame(
+        [(1, "wav", None), (2, "mp3", b"ID3junk"), (3, "wav", b"RIFFxxxx")],
+        "doc_id long, kind string, payload binary",
+    )
+    rows = decode_audio(bad).toPandas().sort_values("doc_id")
+    assert len(rows) == 3 and rows.n_samples.isna().all()
+
+
 def test_sqlite_catalog_torture_no_lost_updates(tmp_path):
     """External CAS coordinator (round-3 VERDICT ask #5): writers racing
     through SqliteManifestCatalog must never lose an update — every
