@@ -17,7 +17,12 @@ from ..config import DEFAULT_CONFIG, DedupConfig
 from ..functions.signatures import compute_signatures, explode_bands
 from .cc import connected_components
 from .exact import exact_clusters
-from .lsh import candidate_pairs, simhash_candidate_pairs, verify_pairs
+from .lsh import (
+    candidate_pairs,
+    simhash_candidate_pairs,
+    simhash_widen_edges,
+    verify_pairs,
+)
 
 
 def exact_text_collapse(
@@ -164,43 +169,77 @@ def simhash_dedup(
     id_col: str = "doc_id",
     text_col: str = "text",
     n_blocks: int | None = None,
+    auto_widen: bool = True,
 ) -> DataFrame:
     """SimHash dedup: Hamming-ball clustering via bit-chunk pigeonhole
     (or Manku wide-key block tables when ``n_blocks`` is set — see
     :func:`~finddup_spark.operators.lsh.simhash_candidate_pairs`; the
     verified edge set, and therefore the clustering, is identical).
 
-    No silent caps: the hot-bucket truncation stats from the salted pair
-    generator are collected (a one-row aggregate over the already-persisted
-    bucket table) and logged at WARNING when any distinct-fingerprint
-    bucket was truncated — the signal a production run alerts on.
+    No silent caps, and no silent RECALL loss either: when the chunk
+    path star-truncated any hot bucket (``auto_widen=True``, the
+    default), the members of exactly those buckets are re-keyed through
+    the Manku wide-key block tables
+    (:func:`~finddup_spark.operators.lsh.simhash_widen_edges`) and the
+    recovered Hamming edges union into the cluster graph before CC —
+    truncation loss is strictly within-bucket, so the subset pass is
+    complete, and it costs subset work instead of the ~1.5x whole-corpus
+    slowdown of running the block tables outright. A corpus with no
+    truncation pays only the stats aggregate it was already running; if
+    even the widen pass truncates (wide-key mega-bucket — not observed
+    on any measured corpus), that residue is logged at WARNING.
     """
     import logging
 
+    log = logging.getLogger(__name__)
     sigs = compute_signatures(
         docs, cfg, id_col=id_col, text_col=text_col, include_shingles=False
     ).persist()
     caches: list = [sigs]
-    cand, stats = simhash_candidate_pairs(
+    cand, stats, trunc_fp = simhash_candidate_pairs(
         sigs, hamming_radius=hamming_radius, cfg=cfg, cache_handles=caches,
-        return_stats=True, n_blocks=n_blocks,
+        n_blocks=n_blocks, return_truncated=True,
     )
-    cl = connected_components(
-        cand.select("src", "dst"), vertices=docs.select(F.col(id_col).alias("doc_id"))
-    )
-    # stats AFTER CC (which runs its actions eagerly): the bucket table the
-    # stats aggregate over is cache-warm by now, so this is a cheap cached
-    # scan, not the standalone upfront job that cost the round-3 bench +39%
-    # on this query — still no silent caps, the WARNING fires either way
+    # the widen decision needs the truncation stats BEFORE CC; they are
+    # cheap HERE because the generator's hot-bucket probe has already
+    # materialized the keyed bucket cache the stats aggregate over — no
+    # extra materialization of the pair stream is needed
     srow = stats.collect()[0]
-    if (srow["hot_buckets"] or 0) > 0:
-        logging.getLogger(__name__).warning(
-            "simhash_dedup: %d hot chunk bucket(s) truncated (max bucket %d, "
-            "skipped-pair upper bound %d) — recall within those buckets is "
-            "star-limited",
-            srow["hot_buckets"], srow["max_bucket"],
-            srow["pairs_truncated_upper_bound"],
-        )
+    edges, wstats = cand, None
+    if (srow["pairs_truncated_upper_bound"] or 0) > 0:
+        if auto_widen and n_blocks is None:
+            log.warning(
+                "simhash_dedup: %d hot chunk bucket(s) star-truncated "
+                "(max bucket %d, skipped-pair upper bound %d) — widening "
+                "those buckets through Manku n_blocks=6 wide-key tables",
+                srow["hot_buckets"], srow["max_bucket"],
+                srow["pairs_truncated_upper_bound"],
+            )
+            wide, wstats = simhash_widen_edges(
+                trunc_fp, hamming_radius=hamming_radius, cfg=cfg,
+                cache_handles=caches, return_stats=True,
+            )
+            edges = cand.unionByName(wide)
+        else:
+            log.warning(
+                "simhash_dedup: %d hot chunk bucket(s) truncated (max "
+                "bucket %d, skipped-pair upper bound %d) — recall within "
+                "those buckets is star-limited",
+                srow["hot_buckets"], srow["max_bucket"],
+                srow["pairs_truncated_upper_bound"],
+            )
+    cl = connected_components(
+        edges.select("src", "dst"), vertices=docs.select(F.col(id_col).alias("doc_id"))
+    )
+    if wstats is not None:
+        wsrow = wstats.collect()[0]
+        if (wsrow["pairs_truncated_upper_bound"] or 0) > 0:
+            log.warning(
+                "simhash_dedup: widen pass STILL truncated %d wide-key "
+                "bucket(s) (skipped-pair upper bound %d) — residual "
+                "star-limited recall",
+                wsrow["hot_buckets"], wsrow["pairs_truncated_upper_bound"],
+            )
     for h in caches:
         h.unpersist()
     return cl.select(

@@ -55,10 +55,21 @@ def candidate_pairs(
     cache_handles: list | None = None,
     payload_col: str | None = None,
     pair_predicate=None,
-) -> tuple[DataFrame, DataFrame]:
+    return_truncated: bool = False,
+    bounded_keyspace: bool = False,
+):
     """(pairs, stats) — pairs(src, dst) with src < dst, distinct across
     bands; stats is a tiny DataFrame of hot-bucket truncation metrics for
-    the lineage sink (no silent caps).
+    the lineage sink (no silent caps). With ``return_truncated=True``
+    also returns the DISTINCT members of SALTED (hot) buckets
+    (doc_id [, payload]) — the population a recall-recovery pass must
+    re-key. Inside a hot bucket no pair is guaranteed a direct
+    candidate: within-shard all-pairs covers same-shard members, but a
+    cross-shard member↔member pair rides through shard reps (which a
+    ``pair_predicate`` may legitimately reject as dissimilar), and a
+    star-fallback shard covers only rep↔member. Any pair lost either way
+    has BOTH members inside one hot bucket, so re-keying exactly the hot
+    membership is sound and complete for the loss.
 
     ``payload_col`` names a SMALL per-doc column in ``bands`` (e.g. the
     8-byte SimHash fingerprint) to carry through every pair branch as
@@ -78,11 +89,29 @@ def candidate_pairs(
     # count instead of groupBy + join-back (which exchanged the full band
     # table twice more); the persisted window output keeps its
     # (band_id, band_hash) partitioning, so the small/hot self-joins
-    # below reuse it instead of re-shuffling
-    w = Window.partitionBy("band_id", "band_hash")
-    keyed = bands.withColumn(
-        "bucket_size", F.count(F.lit(1)).over(w)
-    ).persist()
+    # below reuse it instead of re-shuffling.
+    #
+    # ``bounded_keyspace``: when the band-hash domain is small by
+    # construction (the SimHash 16-bit chunk tables: <= 4*65536 distinct
+    # buckets regardless of corpus size), bucket sizes come from a
+    # map-side-combined groupBy (shuffle volume = |keyspace|, not |rows|)
+    # broadcast-joined back — the full-band-table exchange AND its sort
+    # disappear; the self-joins below then shuffle only the >= 2-member
+    # survivors (at 16-bit keys most buckets are singletons until the
+    # corpus dwarfs the keyspace). Never set this for unbounded hashes —
+    # the broadcast would scale with the corpus.
+    if bounded_keyspace:
+        sizes_small = bands.groupBy("band_id", "band_hash").agg(
+            F.count(F.lit(1)).alias("bucket_size")
+        )
+        keyed = bands.join(
+            F.broadcast(sizes_small), ["band_id", "band_hash"]
+        ).persist()
+    else:
+        w = Window.partitionBy("band_id", "band_hash")
+        keyed = bands.withColumn(
+            "bucket_size", F.count(F.lit(1)).over(w)
+        ).persist()
     if cache_handles is not None:
         cache_handles.append(keyed)
 
@@ -268,6 +297,12 @@ def candidate_pairs(
         .alias("pairs_truncated_upper_bound")
     )
     stats = overall.crossJoin(trunc)
+    if return_truncated:
+        truncated_members = (
+            salted.select("doc_id", *([payload_col] if payload_col else []))
+            .distinct()
+        )
+        return pairs, stats, truncated_members
     return pairs, stats
 
 
@@ -389,6 +424,67 @@ def simhash_block_keys(n_blocks: int, hamming_radius: int) -> list[tuple]:
     ]
 
 
+def simhash_block_bands(
+    fps: DataFrame, n_blocks: int, hamming_radius: int
+) -> DataFrame:
+    """Explode (doc_id, simhash) rows into Manku wide-key band rows
+    (band_id, band_hash, doc_id, simhash) — one row per
+    (n_blocks - r)-block-combination table (see
+    :func:`simhash_block_keys`)."""
+    structs = []
+    for tid, (combo, widths, offsets) in enumerate(
+        simhash_block_keys(n_blocks, hamming_radius)
+    ):
+        key = F.lit(0).cast("long")
+        for idx in combo:
+            block = F.shiftrightunsigned(
+                F.col("simhash"), offsets[idx]
+            ).bitwiseAND(F.lit((1 << widths[idx]) - 1))
+            key = F.shiftleft(key, widths[idx]).bitwiseOR(block)
+        structs.append(
+            F.struct(F.lit(tid).alias("band_id"), key.alias("band_hash"))
+        )
+    return fps.select(
+        "doc_id", "simhash", F.explode(F.array(*structs)).alias("c")
+    ).select("doc_id", "simhash", F.col("c.band_id"), F.col("c.band_hash"))
+
+
+def simhash_widen_edges(
+    trunc_fp: DataFrame,
+    hamming_radius: int = 3,
+    n_blocks: int = 6,
+    cfg: DedupConfig = DEFAULT_CONFIG,
+    cache_handles: list | None = None,
+    return_stats: bool = False,
+):
+    """Recall-recovery pass over the members of HOT (salted) chunk
+    buckets: re-key ONLY those (doc_id, simhash) rows through the Manku
+    wide-key block tables and emit their verified Hamming edges. Sound
+    and complete for the salting loss — a pair without a direct
+    candidate (cross-shard through dissimilar reps, or star-truncated)
+    has both members inside one hot bucket, so both appear in
+    ``trunc_fp`` and share at least one of the C(n_blocks, n_blocks - r)
+    block keys (pigeonhole). Cost is subset-sized (hot buckets are a
+    fraction of a corpus, and the ~32-bit keys disperse them), so the
+    default chunk path keeps its wall while hot-bucket recall stops
+    depending on a manual ``n_blocks`` flag."""
+    bands = simhash_block_bands(trunc_fp, n_blocks, hamming_radius)
+    pairs, stats = candidate_pairs(
+        bands,
+        cfg,
+        cache_handles=cache_handles,
+        payload_col="simhash",
+        pair_predicate=lambda a, b: F.bit_count(a.bitwiseXOR(b))
+        <= F.lit(hamming_radius),
+    )
+    edges = pairs.select(
+        "src",
+        "dst",
+        F.bit_count(F.col("p_src").bitwiseXOR(F.col("p_dst"))).alias("hamming"),
+    )
+    return (edges, stats) if return_stats else edges
+
+
 def simhash_candidate_pairs(
     signatures: DataFrame,
     hamming_radius: int = 3,
@@ -397,6 +493,7 @@ def simhash_candidate_pairs(
     cache_handles: list | None = None,
     return_stats: bool = False,
     n_blocks: int | None = None,
+    return_truncated: bool = False,
 ):
     """SimHash near-dup candidates by pivoted exact-match on bit-chunks.
 
@@ -494,19 +591,7 @@ def simhash_candidate_pairs(
         # vs the chunk scheme, removing the hot tail on correlated
         # fingerprint spaces
         assert n_blocks > hamming_radius
-        structs = []
-        for tid, (combo, widths, offsets) in enumerate(
-            simhash_block_keys(n_blocks, hamming_radius)
-        ):
-            key = F.lit(0).cast("long")
-            for idx in combo:
-                block = F.shiftrightunsigned(
-                    F.col("simhash"), offsets[idx]
-                ).bitwiseAND(F.lit((1 << widths[idx]) - 1))
-                key = F.shiftleft(key, widths[idx]).bitwiseOR(block)
-            structs.append(
-                F.struct(F.lit(tid).alias("band_id"), key.alias("band_hash"))
-            )
+        chunks = simhash_block_bands(distinct_fp, n_blocks, hamming_radius)
     else:
         width = 64 // n_chunks
         structs = [
@@ -518,29 +603,41 @@ def simhash_candidate_pairs(
             )
             for i in range(n_chunks)
         ]
-    chunks = distinct_fp.select(
-        "doc_id",
-        "simhash",
-        F.explode(F.array(*structs)).alias("c"),
-    ).select("doc_id", "simhash", F.col("c.band_id"), F.col("c.band_hash"))
+        chunks = distinct_fp.select(
+            "doc_id",
+            "simhash",
+            F.explode(F.array(*structs)).alias("c"),
+        ).select("doc_id", "simhash", F.col("c.band_id"), F.col("c.band_hash"))
 
     # the fingerprint IS the payload (8 bytes): the Hamming verification
     # runs INSIDE the pair generator, before the cross-band distinct —
     # no join-back to re-attach fingerprints, and the distinct dedups
     # ~|edges| survivors instead of the raw candidate stream (the latter
     # is ~100x bigger on boilerplate-correlated corpora)
-    pairs, stats = candidate_pairs(
+    out = candidate_pairs(
         chunks,
         cfg,
         cache_handles=cache_handles,
         payload_col="simhash",
         pair_predicate=lambda a, b: F.bit_count(a.bitwiseXOR(b))
         <= F.lit(hamming_radius),
+        return_truncated=return_truncated,
+        # the 16-bit chunk keys would allow bounded_keyspace=True, but an
+        # interleaved A/B at the bench corpus measured the broadcast path
+        # SLOWER (4.5s vs 3.6s, +4 jobs: the agg + broadcast exchange cost
+        # more than the window they replace), so the window stays default;
+        # the option remains for corpora that dwarf the keyspace
     )
+    pairs, stats = out[0], out[1]
     rep_edges = pairs.select(
         "src",
         "dst",
         F.bit_count(F.col("p_src").bitwiseXOR(F.col("p_dst"))).alias("hamming"),
     )
     edges = star0.unionByName(rep_edges)
+    if return_truncated:
+        # trunc members are DISTINCT-fingerprint reps; widening over reps
+        # is complete because same-fingerprint members reach their rep
+        # through the Hamming-0 star (edge set closed under the collapse)
+        return edges, stats, out[2]
     return (edges, stats) if return_stats else edges

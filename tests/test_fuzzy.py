@@ -362,6 +362,79 @@ def test_candidate_pairs_payload_branches(spark):
     assert pairs4.columns == ["src", "dst"]
 
 
+def test_simhash_auto_widen_recovers_truncated_recall(spark):
+    """VERDICT r4 ask #4: when the chunk path star-truncates hot buckets,
+    the widen pass (Manku wide-key tables over ONLY the truncated
+    members) must restore the brute-force Hamming clustering with no
+    manual flag — chunk edges ∪ widen edges cluster identically to the
+    ground-truth edge set, at subset cost."""
+    import numpy as np
+
+    from finddup_spark.operators.lsh import simhash_widen_edges
+
+    rng = np.random.default_rng(11)
+    n = 4000
+    cohort = rng.integers(0, 4, size=n)
+    shared = np.array([0x1234ABCD00000000, 0x1234ABCE00000000,
+                       0x77770000AAAA0000, 0x00FF00FF00000000], dtype=np.uint64)
+    lows = rng.integers(0, 1 << 32, size=n, dtype=np.uint64)
+    f1 = (np.uint64(1) << rng.integers(32, 64, size=n, dtype=np.uint64))
+    f2 = (np.uint64(1) << rng.integers(32, 64, size=n, dtype=np.uint64))
+    fps = ((shared[cohort] | lows) ^ f1 ^ f2).astype(np.int64)
+    rows = [(int(i), int(fps[i])) for i in range(n)]
+    sigs = spark.createDataFrame(rows, "doc_id long, simhash long")
+
+    caches: list = []
+    cand, stats, trunc = simhash_candidate_pairs(
+        sigs, hamming_radius=3, cache_handles=caches, return_truncated=True
+    )
+    cand = cand.persist()
+    cand.count()
+    srow = stats.collect()[0]
+    assert (srow.pairs_truncated_upper_bound or 0) > 0  # chunk path IS lossy here
+    n_trunc = trunc.count()
+    assert 0 < n_trunc < n  # the widen pass re-keys a strict subset
+
+    wide = simhash_widen_edges(trunc, hamming_radius=3, cache_handles=caches)
+    union_edges = [(r.src, r.dst) for r in
+                   cand.select("src", "dst").unionByName(
+                       wide.select("src", "dst")).collect()]
+    for h in caches + [cand]:
+        h.unpersist()
+
+    # local union-find over each edge set → cluster maps must be EQUAL:
+    # all union edges are Hamming-verified (no spurious merges) and every
+    # truth pair is connected (directly, via star/rep-clique transitives,
+    # or through the widen recovery)
+    ids = np.arange(n)
+    vals = fps.astype(np.uint64)
+    lut = np.array([bin(i).count("1") for i in range(256)], dtype=np.uint8)
+    truth_edges = []
+    for i in range(n):
+        x = (vals[i] ^ vals).view(np.uint8).reshape(-1, 8)
+        ham = lut[x].sum(axis=1)
+        for j in np.nonzero(ham <= 3)[0]:
+            if i < j:
+                truth_edges.append((int(ids[i]), int(ids[j])))
+
+    def clusters(edges):
+        parent = {int(i): int(i) for i in ids}
+
+        def find(x):
+            while parent[x] != x:
+                parent[x] = parent[parent[x]]
+                x = parent[x]
+            return x
+
+        for a, b in edges:
+            ra, rb = find(a), find(b)
+            if ra != rb:
+                parent[max(ra, rb)] = min(ra, rb)
+        return {i: find(int(i)) for i in ids}
+
+    assert clusters(union_edges) == clusters(truth_edges)
+
+
 def test_simhash_block_tables_vs_brute_force(spark):
     """Manku wide-key block tables (n_blocks=6, C(6,3)=20 tables of
     ~32-bit keys) on a correlated corpus — the shared-prefix pattern
