@@ -210,6 +210,37 @@ def _q_lang_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _q_repetition_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gopher-style repetition filters (Rae et al. 2021 A1.1): duplicate
+    word/line/5-gram fractions, duplicate-line character fraction, and
+    the character share of the heaviest 2-/3-gram. Map-only — every
+    metric is a per-row sorted-run array expression, zero shuffles; the
+    DuckDB twin recomputes the same semantics via unnest + GROUP BY."""
+    from finddup_spark.functions.repetition import repetition_stats
+
+    return repetition_stats(_docs(spark, sf_dir))
+
+
+def _q_contamination_check(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benchmark decontamination: per-doc 8-token-gram overlap against a
+    deterministically derived benchmark suite (token slice [4..11] of
+    every doc_id % 97 == 0 document — so the sources, and any doc
+    sharing that window, are contaminated by construction). Production
+    path: hashed grams (8-byte longs through the per-doc distinct and
+    the final count shuffle), benchmark set broadcast; output columns
+    carry no gram values, so the hashed run is directly oracle-able
+    (hashed == string proven by test_contamination_hashed_matches_string)."""
+    from finddup_spark.operators.contamination import contamination_check
+
+    docs = _docs(spark, sf_dir)
+    toks = F.split(F.col("text"), " ")
+    bench = (
+        docs.filter(F.col("text").isNotNull() & (F.col("doc_id") % 97 == 0))
+        .select(F.array_join(F.slice(toks, 4, 8), " ").alias("text"))
+    )
+    return contamination_check(docs, bench, n=8, hashed=True)
+
+
 def _q_token_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     """n-gram (token-set) Jaccard over a bounded blocked pair set."""
     from finddup_spark.operators.dedup import token_jaccard_pairs
@@ -1048,6 +1079,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "winnow_fingerprints": _q_winnow_fingerprints,
         "winnow_planted": _q_winnow_planted,
         "boilerplate_ratio": _q_boilerplate_ratio,
+        "repetition_stats": _q_repetition_stats,
+        "contamination_check": _q_contamination_check,
         "streaming_dedup": _q_streaming_dedup,
         "cross_modal_dedup": _q_cross_modal_dedup,
     }
@@ -1916,5 +1949,113 @@ def oracle_sql() -> dict[str, str]:
             SELECT b2.doc_id, state.cluster_id,
                    CAST(b2.doc_id = state.cluster_id AS VARCHAR) AS keep
             FROM b2 JOIN state USING (hsh)
+        """,
+        "repetition_stats": r"""
+            WITH base AS (
+              SELECT doc_id, text,
+                     CASE WHEN length(trim(text)) = 0 THEN []::VARCHAR[]
+                          ELSE string_split_regex(trim(text), '[ \t\n\x0b\f\r]+')
+                     END AS toks,
+                     string_split(text, chr(10)) AS lines
+              FROM documents WHERE text IS NOT NULL
+            ), arrs AS (
+              SELECT doc_id, text, toks, lines,
+                CASE WHEN len(toks) >= 5 THEN
+                  list_transform(generate_series(1, len(toks)-4),
+                    i -> array_to_string(toks[i:i+4], ' '))
+                ELSE []::VARCHAR[] END AS g5,
+                CASE WHEN len(toks) >= 2 THEN
+                  list_transform(generate_series(1, len(toks)-1),
+                    i -> array_to_string(toks[i:i+1], ' '))
+                ELSE []::VARCHAR[] END AS g2,
+                CASE WHEN len(toks) >= 3 THEN
+                  list_transform(generate_series(1, len(toks)-2),
+                    i -> array_to_string(toks[i:i+2], ' '))
+                ELSE []::VARCHAR[] END AS g3
+              FROM base
+            ), line_stats AS (
+              -- chars in repeat occurrences of a line / chars in all lines
+              SELECT a.doc_id,
+                     sum((cnt - 1) * length(line)) * 1.0
+                       / nullif(sum(cnt * length(line)), 0) AS dup_line_char_raw
+              FROM (
+                SELECT doc_id, line, count(*) AS cnt
+                FROM (SELECT doc_id, unnest(lines) AS line FROM arrs)
+                GROUP BY doc_id, line
+              ) a GROUP BY a.doc_id
+            ), top2 AS (
+              -- heaviest gram by count*chars (no tie-break needed on a max)
+              SELECT doc_id, max(cnt * length(g)) AS w2 FROM (
+                SELECT doc_id, g, count(*) AS cnt
+                FROM (SELECT doc_id, unnest(g2) AS g FROM arrs)
+                GROUP BY doc_id, g
+              ) GROUP BY doc_id
+            ), top3 AS (
+              SELECT doc_id, max(cnt * length(g)) AS w3 FROM (
+                SELECT doc_id, g, count(*) AS cnt
+                FROM (SELECT doc_id, unnest(g3) AS g FROM arrs)
+                GROUP BY doc_id, g
+              ) GROUP BY doc_id
+            )
+            SELECT a.doc_id,
+              CAST(len(a.toks) AS BIGINT) AS n_tokens,
+              CAST(len(a.lines) AS BIGINT) AS n_lines,
+              round(CASE WHEN len(a.toks) > 0
+                    THEN 1.0 - len(list_distinct(a.toks)) * 1.0 / len(a.toks)
+                    ELSE 0.0 END, 6) AS dup_word_frac,
+              round(CASE WHEN len(a.lines) > 0
+                    THEN 1.0 - len(list_distinct(a.lines)) * 1.0 / len(a.lines)
+                    ELSE 0.0 END, 6) AS dup_line_frac,
+              round(coalesce(ls.dup_line_char_raw, 0.0), 6) AS dup_line_char_frac,
+              round(CASE WHEN len(a.g5) > 0
+                    THEN 1.0 - len(list_distinct(a.g5)) * 1.0 / len(a.g5)
+                    ELSE 0.0 END, 6) AS dup_5gram_frac,
+              round(CASE WHEN length(a.text) > 0
+                    THEN coalesce(t2.w2, 0) * 1.0 / length(a.text)
+                    ELSE 0.0 END, 6) AS top_2gram_char_frac,
+              round(CASE WHEN length(a.text) > 0
+                    THEN coalesce(t3.w3, 0) * 1.0 / length(a.text)
+                    ELSE 0.0 END, 6) AS top_3gram_char_frac
+            FROM arrs a
+            LEFT JOIN line_stats ls USING (doc_id)
+            LEFT JOIN top2 t2 USING (doc_id)
+            LEFT JOIN top3 t3 USING (doc_id)
+        """,
+        "contamination_check": r"""
+            -- benchmark = token slice [4..11] of every doc_id % 97 == 0
+            -- doc; grams mirror boilerplate's doc_shingles semantics
+            -- (single-space tokens, whole-text gram under 8 tokens)
+            WITH bench_src AS (
+              SELECT string_split(text, ' ') AS toks
+              FROM documents WHERE text IS NOT NULL AND doc_id % 97 = 0
+            ), bench AS (
+              SELECT array_to_string(toks[4:11], ' ') AS btext FROM bench_src
+            ), bench_grams AS (
+              SELECT DISTINCT unnest(
+                CASE WHEN len(string_split(btext, ' ')) >= 8 THEN
+                  list_transform(
+                    generate_series(1, len(string_split(btext, ' ')) - 7),
+                    i -> array_to_string((string_split(btext, ' '))[i:i+7], ' '))
+                ELSE [btext] END) AS gram
+              FROM bench
+            ), doc_grams AS (
+              SELECT DISTINCT doc_id, unnest(
+                CASE WHEN len(toks) >= 8 THEN
+                  list_transform(generate_series(1, len(toks) - 7),
+                    i -> array_to_string(toks[i:i+7], ' '))
+                ELSE [array_to_string(toks, ' ')] END) AS gram
+              FROM (SELECT doc_id, string_split(text, ' ') AS toks
+                    FROM documents WHERE text IS NOT NULL)
+            )
+            SELECT d.doc_id,
+              count(*) AS n_grams,
+              CAST(sum(CASE WHEN b.gram IS NULL THEN 0 ELSE 1 END) AS BIGINT)
+                AS n_contaminated,
+              round(sum(CASE WHEN b.gram IS NULL THEN 0 ELSE 1 END) * 1.0
+                    / count(*), 6) AS contamination_ratio,
+              sum(CASE WHEN b.gram IS NULL THEN 0 ELSE 1 END) > 0
+                AS is_contaminated
+            FROM doc_grams d LEFT JOIN bench_grams b USING (gram)
+            GROUP BY d.doc_id
         """,
     }
