@@ -46,9 +46,14 @@ def connected_components(
     pathological for chain-shaped mirror graphs.
     """
     edges = edges.persist()
-    n_edges = edges.count()
-    if n_edges <= driver_threshold:
-        out = _driver_cc(edges, vertices, id_col)
+    # limit-guarded collect: ONE action decides the strategy AND feeds
+    # the driver path (the previous count-then-collect pair cost an extra
+    # full action per dedup call). At most driver_threshold + 1 rows ever
+    # reach the driver; overflow means the distributed path runs against
+    # the (partially) persisted edges.
+    probe = edges.select("src", "dst").limit(driver_threshold + 1).collect()
+    if len(probe) <= driver_threshold:
+        out = _driver_cc(edges, vertices, id_col, rows=probe)
         edges.unpersist()  # collected — the cache has served its purpose
         return out
     if algorithm == "star":
@@ -106,12 +111,17 @@ def connected_components(
 
 
 def _driver_cc(
-    edges: DataFrame, vertices: DataFrame | None, id_col: str
+    edges: DataFrame,
+    vertices: DataFrame | None,
+    id_col: str,
+    rows: list | None = None,
 ) -> DataFrame:
-    """Small-graph path: collect edges, union-find with min-root unions,
+    """Small-graph path: collect edges (or take the caller's
+    already-collected ``rows``), union-find with min-root unions,
     parallelize assignments back (non-edge vertices via left-anti join)."""
     spark = edges.sparkSession
-    rows = edges.select("src", "dst").collect()
+    if rows is None:
+        rows = edges.select("src", "dst").collect()
     parent: dict[int, int] = {}
 
     def find(x: int) -> int:

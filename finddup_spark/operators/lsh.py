@@ -57,6 +57,7 @@ def candidate_pairs(
     pair_predicate=None,
     return_truncated: bool = False,
     bounded_keyspace: bool = False,
+    eager_stats: bool = False,
 ):
     """(pairs, stats) — pairs(src, dst) with src < dst, distinct across
     bands; stats is a tiny DataFrame of hot-bucket truncation metrics for
@@ -126,17 +127,6 @@ def candidate_pairs(
     dup_buckets = keyed.filter(F.col("bucket_size") >= 2)
     small = dup_buckets.filter(F.col("bucket_size") <= cfg.hot_bucket_cap)
     hot = dup_buckets.filter(F.col("bucket_size") > cfg.hot_bucket_cap)
-    # cardinality-dependent branch elision (the P4 strategy switch applied
-    # to the generator itself): ONE cached-scan probe decides whether the
-    # three hot-bucket branches exist at all. A skew-free corpus (or a
-    # collapsed one — exact_text_collapse removes the dominant floods)
-    # otherwise pays three empty-but-scheduled join branches per call;
-    # measured 14 AQE jobs / ~0.6 s of pure scheduling at 5k docs. When
-    # hot buckets DO exist the probe short-circuits on the first cached
-    # partition that yields a row — negligible against the branches it
-    # keeps. The probe also warms the keyed cache for every later branch.
-    has_hot = hot.limit(1).count() > 0
-
     # ---- small buckets: exact all-pairs self-join (J1) ----
     bkeys = ["band_id", "band_hash"]
     pairs_small = (
@@ -164,6 +154,77 @@ def candidate_pairs(
     salted = hot.withColumn(
         "salt", F.pmod(F.xxhash64("doc_id"), n_shards)
     ).withColumn("shard_size", F.count(F.lit(1)).over(wsh))
+
+    # per-bucket rows for the skew stats. pairs_truncated_upper_bound
+    # counts only pairs with NO direct candidate: per hot bucket, C(n,2)
+    # minus within-shard coverage (all-pairs or star) minus the
+    # cross-shard rep clique — with every shard under the all-pairs cap
+    # this is exactly the cross-shard non-rep pairs (which can still
+    # connect transitively through reps).
+    sizes = keyed.select("band_id", "band_hash", "bucket_size").dropDuplicates(
+        ["band_id", "band_hash"]
+    )
+    overall = sizes.agg(
+        F.count(F.lit(1)).alias("n_buckets"),
+        F.coalesce(
+            F.sum(
+                F.when(F.col("bucket_size") > cfg.hot_bucket_cap, 1).otherwise(0)
+            ),
+            F.lit(0),
+        ).alias("hot_buckets"),
+        F.max("bucket_size").alias("max_bucket"),
+    )
+    shard_sizes = salted.groupBy("band_id", "band_hash", "salt").agg(
+        F.count(F.lit(1)).alias("w"),
+        F.first("bucket_size").alias("bucket_size"),
+    )
+    w = F.col("w")
+    allpairs_shard = (w <= cfg.shard_allpairs_cap) & (
+        F.col("bucket_size") <= cfg.allpairs_bucket_limit
+    )
+    per_bucket = shard_sizes.groupBy("band_id", "band_hash").agg(
+        F.sum(w).alias("n"),
+        F.count(F.lit(1)).alias("s"),
+        F.sum(
+            F.when(allpairs_shard, w * (w - 1) / 2).otherwise(w - 1)
+        ).alias("covered_within"),
+    )
+    trunc = per_bucket.agg(
+        F.coalesce(
+            F.sum(
+                F.col("n") * (F.col("n") - 1) / 2
+                - F.col("covered_within")
+                - F.col("s") * (F.col("s") - 1) / 2
+            ),
+            F.lit(0),
+        )
+        .cast("long")
+        .alias("pairs_truncated_upper_bound")
+    )
+    stats = overall.crossJoin(trunc)
+
+    # cardinality-dependent branch elision (the P4 strategy switch applied
+    # to the generator itself): ONE cached-scan action decides whether the
+    # three hot-bucket branches exist at all. A skew-free corpus (or a
+    # collapsed one — exact_text_collapse removes the dominant floods)
+    # otherwise pays three empty-but-scheduled join branches per call;
+    # measured 14 AQE jobs / ~0.6 s of pure scheduling at 5k docs. The
+    # action also warms the keyed cache for every later branch.
+    #
+    # ``eager_stats`` (callers that ALWAYS consume the stats row, e.g.
+    # the SimHash tier's widen decision) merges the probe INTO the stats
+    # aggregate: one collect yields both has_hot and the stats values,
+    # and the returned stats DataFrame is the pre-collected row — the
+    # caller's stats.collect() no longer launches a cluster job. Lazy
+    # default keeps the short-circuit limit(1) probe for callers that
+    # may never materialize stats (the probe stops at the first cached
+    # partition with a hot row; the full aggregate would scan keyed).
+    if eager_stats:
+        srow = stats.collect()[0]
+        has_hot = (srow["hot_buckets"] or 0) > 0
+        stats = keyed.sparkSession.createDataFrame([srow], stats.schema)
+    else:
+        has_hot = hot.limit(1).count() > 0
 
     # within-shard ALL-PAIRS for shards of bounded width in buckets of
     # bounded size — this is what recovers the round-3 within-shard
@@ -249,54 +310,6 @@ def candidate_pairs(
         pairs = pairs.persist()
         cache_handles.append(pairs)
 
-    # per-bucket rows for the skew stats (runs once, over the persisted
-    # keyed table, in the caller's stats.collect() job).
-    # pairs_truncated_upper_bound counts only pairs with NO direct
-    # candidate: per hot bucket, C(n,2) minus within-shard coverage
-    # (all-pairs or star) minus the cross-shard rep clique — with every
-    # shard under the all-pairs cap this is exactly the cross-shard
-    # non-rep pairs (which can still connect transitively through reps).
-    sizes = keyed.select("band_id", "band_hash", "bucket_size").dropDuplicates(
-        ["band_id", "band_hash"]
-    )
-    overall = sizes.agg(
-        F.count(F.lit(1)).alias("n_buckets"),
-        F.coalesce(
-            F.sum(
-                F.when(F.col("bucket_size") > cfg.hot_bucket_cap, 1).otherwise(0)
-            ),
-            F.lit(0),
-        ).alias("hot_buckets"),
-        F.max("bucket_size").alias("max_bucket"),
-    )
-    shard_sizes = salted.groupBy("band_id", "band_hash", "salt").agg(
-        F.count(F.lit(1)).alias("w"),
-        F.first("bucket_size").alias("bucket_size"),
-    )
-    w = F.col("w")
-    allpairs_shard = (w <= cfg.shard_allpairs_cap) & (
-        F.col("bucket_size") <= cfg.allpairs_bucket_limit
-    )
-    per_bucket = shard_sizes.groupBy("band_id", "band_hash").agg(
-        F.sum(w).alias("n"),
-        F.count(F.lit(1)).alias("s"),
-        F.sum(
-            F.when(allpairs_shard, w * (w - 1) / 2).otherwise(w - 1)
-        ).alias("covered_within"),
-    )
-    trunc = per_bucket.agg(
-        F.coalesce(
-            F.sum(
-                F.col("n") * (F.col("n") - 1) / 2
-                - F.col("covered_within")
-                - F.col("s") * (F.col("s") - 1) / 2
-            ),
-            F.lit(0),
-        )
-        .cast("long")
-        .alias("pairs_truncated_upper_bound")
-    )
-    stats = overall.crossJoin(trunc)
     if return_truncated:
         truncated_members = (
             salted.select("doc_id", *([payload_col] if payload_col else []))
@@ -622,6 +635,10 @@ def simhash_candidate_pairs(
         pair_predicate=lambda a, b: F.bit_count(a.bitwiseXOR(b))
         <= F.lit(hamming_radius),
         return_truncated=return_truncated,
+        # the SimHash tier ALWAYS consumes the stats row (the widen
+        # decision in simhash_dedup) — eager_stats merges the hot-bucket
+        # probe into that one aggregate, saving a full action per call
+        eager_stats=True,
         # the 16-bit chunk keys would allow bounded_keyspace=True, but an
         # interleaved A/B at the bench corpus measured the broadcast path
         # SLOWER (4.5s vs 3.6s, +4 jobs: the agg + broadcast exchange cost
