@@ -24,6 +24,14 @@ from pyspark.sql import functions as F
 SF0001 = "/root/testdata/sf0.001"
 LANGS = ("en", "fr", "es", "de", "zh")
 
+# PII patterns shared verbatim with the engine (lockstep by construction:
+# the pii_scrub oracle SQL embeds these same strings)
+from finddup_spark.functions.pii import (  # noqa: E402
+    EMAIL_RE as _PII_EMAIL_RE,
+    IPV4_RE as _PII_IPV4_RE,
+    PHONE_RE as _PII_PHONE_RE,
+)
+
 
 def _docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.read.parquet(f"{sf_dir}/documents.parquet")
@@ -1038,6 +1046,69 @@ def _q_wav_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _q_url_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Canonical-URL dedup (functions/urlnorm.py) — the corpus-scale
+    analog of the reference's searchpath normalization (realpath +
+    set-dedup, finddup.py:693-736). The documents table carries no url
+    column, so four messy raw spellings per canonical page are planted
+    by doc_id arithmetic (scheme/host case + www., trailing slash,
+    default :443 port + utm params, #fragment); the oracle rebuilds the
+    same raw URLs and runs the byte-identical RE2 canonicalization
+    chain, so every regex rule is value-checked end-to-end."""
+    from finddup_spark.functions.urlnorm import canonical_url_dedup
+
+    d = _docs(spark, sf_dir).select("doc_id")
+    key = F.floor(F.col("doc_id") / 4).cast("long")
+    host = F.concat(F.lit("site"), F.pmod(key, 50).cast("string"), F.lit(".example"))
+    path = F.concat(F.lit("/p/"), key.cast("string"))
+    v = F.pmod("doc_id", 4)
+    url = (
+        F.when(v == 0, F.concat(F.lit("https://"), host, path))
+        .when(v == 1, F.concat(F.lit("HTTPS://WWW."), host, path, F.lit("/")))
+        .when(v == 2, F.concat(F.lit("https://"), host, F.lit(":443"), path,
+                               F.lit("?utm_source=x&utm_medium=y")))
+        .otherwise(F.concat(F.lit("https://"), host, path, F.lit("#frag")))
+    )
+    return canonical_url_dedup(d.select("doc_id", url.alias("url")))
+
+
+def _q_pii_scrub(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PII detect + redact (functions/pii.py): e-mail / IPv4 / E.164
+    phone counts and the sha256 + length of the scrubbed text. PII is
+    planted deterministically per doc_id (two thirds of docs get an
+    e-mail, one third additionally an IP + phone) so the counts are
+    non-vacuous on a corpus with no natural PII; the scrubbed-text
+    sha256 proves the REPLACEMENT bytes, not just the counts, match the
+    oracle's RE2 run exactly."""
+    from finddup_spark.functions.pii import pii_counts, scrub_pii
+
+    d = _docs(spark, sf_dir).filter(F.col("text").isNotNull())
+    planted = F.concat(
+        F.col("text"),
+        F.when(
+            F.pmod("doc_id", 3) < 2,
+            F.concat(F.lit(" contact u"), F.col("doc_id").cast("string"),
+                     F.lit("@ex"), F.pmod("doc_id", 7).cast("string"),
+                     F.lit(".com")),
+        ).otherwise(F.lit("")),
+        F.when(
+            F.pmod("doc_id", 3) == 0,
+            F.concat(F.lit(" ip 10."), F.pmod("doc_id", 256).cast("string"),
+                     F.lit(".0."), F.pmod(F.col("doc_id") * 3, 256).cast("string"),
+                     F.lit(" tel +1415555"),
+                     F.lpad(F.pmod("doc_id", 10000).cast("string"), 4, "0")),
+        ).otherwise(F.lit("")),
+    )
+    t = d.select("doc_id", planted.alias("text"))
+    scrubbed = scrub_pii("text")
+    return t.select(
+        "doc_id",
+        *pii_counts("text"),
+        F.sha2(scrubbed, 256).alias("scrubbed_sha"),
+        F.length(scrubbed).cast("long").alias("scrubbed_len"),
+    )
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "exact_block_sizes": _q_exact_block_sizes,
@@ -1083,6 +1154,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "contamination_check": _q_contamination_check,
         "streaming_dedup": _q_streaming_dedup,
         "cross_modal_dedup": _q_cross_modal_dedup,
+        "url_dedup": _q_url_dedup,
+        "pii_scrub": _q_pii_scrub,
     }
 
 
@@ -2057,5 +2130,83 @@ def oracle_sql() -> dict[str, str]:
                 AS is_contaminated
             FROM doc_grams d LEFT JOIN bench_grams b USING (gram)
             GROUP BY d.doc_id
+        """,
+        # same planted raw URLs, same 8-rule canonicalization chain as
+        # finddup_spark/functions/urlnorm.py (RE2 subset — see the module
+        # docstring; replacement backrefs are \1 here vs $1 in Java)
+        "url_dedup": r"""
+            WITH raw AS (
+              SELECT doc_id,
+                CASE doc_id % 4
+                  WHEN 0 THEN 'https://' || h || p
+                  WHEN 1 THEN 'HTTPS://WWW.' || h || p || '/'
+                  WHEN 2 THEN 'https://' || h || ':443' || p
+                              || '?utm_source=x&utm_medium=y'
+                  ELSE 'https://' || h || p || '#frag'
+                END AS url
+              FROM (
+                SELECT doc_id,
+                       'site' || CAST((doc_id // 4) % 50 AS VARCHAR)
+                              || '.example' AS h,
+                       '/p/' || CAST(doc_id // 4 AS VARCHAR) AS p
+                FROM documents)
+            ),
+            s1 AS (SELECT doc_id, url,
+                     regexp_replace(trim(url), '#.*', '', 'g') AS u FROM raw),
+            s2 AS (SELECT doc_id, url,
+                     lower(regexp_extract(u, '^([A-Za-z][A-Za-z0-9+.\-]*://[^/?#]*)', 1))
+                     || substr(u, length(regexp_extract(u, '^([A-Za-z][A-Za-z0-9+.\-]*://[^/?#]*)', 1)) + 1)
+                     AS u FROM s1),
+            s3 AS (SELECT doc_id, url,
+                     regexp_replace(u, '^(https?://)www\.', '\1') AS u FROM s2),
+            s4 AS (SELECT doc_id, url,
+                     regexp_replace(regexp_replace(u,
+                       '^(http://[^/?#:]+):80([/?#].*|$)', '\1\2'),
+                       '^(https://[^/?#:]+):443([/?#].*|$)', '\1\2') AS u FROM s3),
+            s5 AS (SELECT doc_id, url,
+                     regexp_replace(regexp_replace(regexp_replace(u,
+                       '&(utm_[^=&]*|fbclid|gclid|msclkid)=[^&]*', '', 'g'),
+                       '\?(utm_[^=&]*|fbclid|gclid|msclkid)=[^&]*&', '?'),
+                       '\?(utm_[^=&]*|fbclid|gclid|msclkid)=[^&]*$', '') AS u FROM s4),
+            s6 AS (SELECT doc_id, url,
+                     regexp_replace(regexp_replace(u, '[?&]+$', ''), '/+$', '')
+                     AS u FROM s5)
+            SELECT u AS canonical_url,
+                   min(doc_id) AS keep_id,
+                   count(*) AS n_variants,
+                   CAST(count(DISTINCT url) AS BIGINT) AS n_raw_urls
+            FROM s6 GROUP BY 1
+        """,
+        # patterns embedded from finddup_spark/functions/pii.py constants
+        # (lockstep by construction); replacement order e-mail → phone →
+        # IP matches scrub_pii
+        "pii_scrub": f"""
+            WITH planted AS (
+              SELECT doc_id, text ||
+                CASE WHEN doc_id % 3 < 2 THEN
+                  ' contact u' || CAST(doc_id AS VARCHAR) || '@ex'
+                  || CAST(doc_id % 7 AS VARCHAR) || '.com'
+                ELSE '' END ||
+                CASE WHEN doc_id % 3 = 0 THEN
+                  ' ip 10.' || CAST(doc_id % 256 AS VARCHAR) || '.0.'
+                  || CAST((doc_id * 3) % 256 AS VARCHAR)
+                  || ' tel +1415555'
+                  || lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0')
+                ELSE '' END AS text
+              FROM documents WHERE text IS NOT NULL
+            )
+            SELECT doc_id,
+              CAST(len(regexp_extract_all(text, '{_PII_EMAIL_RE}')) AS BIGINT) AS n_emails,
+              CAST(len(regexp_extract_all(text, '{_PII_IPV4_RE}')) AS BIGINT) AS n_ipv4,
+              CAST(len(regexp_extract_all(text, '{_PII_PHONE_RE}')) AS BIGINT) AS n_phones,
+              sha256(regexp_replace(regexp_replace(regexp_replace(text,
+                  '{_PII_EMAIL_RE}', '<EMAIL>', 'g'),
+                  '{_PII_PHONE_RE}', '<PHONE>', 'g'),
+                  '{_PII_IPV4_RE}', '<IP>', 'g')) AS scrubbed_sha,
+              CAST(length(regexp_replace(regexp_replace(regexp_replace(text,
+                  '{_PII_EMAIL_RE}', '<EMAIL>', 'g'),
+                  '{_PII_PHONE_RE}', '<PHONE>', 'g'),
+                  '{_PII_IPV4_RE}', '<IP>', 'g')) AS BIGINT) AS scrubbed_len
+            FROM planted
         """,
     }
