@@ -621,8 +621,13 @@ def main() -> None:
     # controls themselves capped at 3.0-3.9x — host, not engine.
     ap.add_argument("--scaling-low", type=int, default=2)
     ap.add_argument("--scaling-high", type=int, default=8)
-    ap.add_argument("--scale-rows", type=int, default=480000,
-                    help="synthetic corpus size for --scaling")
+    ap.add_argument("--scale-rows", type=int, default=960000,
+                    help="synthetic corpus seed rows for --scaling "
+                         "(960000 -> 1,089,744 pages, the corpus every "
+                         "recorded BENCH/legs.json measurement used; a "
+                         "smaller corpus inflates fixed per-leg overheads "
+                         "relative to scalable work and is not comparable "
+                         "to the recorded efficiency numbers)")
     ap.add_argument("--scaling-reps", type=int, default=3,
                     help="interleaved repetitions per level for --scaling")
     ap.add_argument("--pages-path", default=None,
