@@ -216,7 +216,16 @@ def compute_signatures(
                 # per-doc split/re-concat — measured ~35% off this stage.
                 allsh, lengths = _batch_windows(sub[text_col], cfg)
                 allw = np.ones(len(allsh), dtype=np.float64)
-                mh = minhash_batch(allsh, lengths, cfg)
+                # minhash matrix only when a consumer exists: the SimHash
+                # tier (with_minhash=False, with_bands=False) otherwise
+                # pays the full 128-bin OPH pass + 1 KB/row binary for a
+                # column it never reads (guide §1.2: don't compute what
+                # you throw away)
+                mh = (
+                    minhash_batch(allsh, lengths, cfg)
+                    if (with_minhash or with_bands)
+                    else None
+                )
                 simh = simhash_batch(allsh, allw, lengths)
                 cols = {"doc_id": sub[id_col].values}
                 if with_minhash:

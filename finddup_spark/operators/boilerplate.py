@@ -60,10 +60,13 @@ def doc_shingles(
     )
     if hashed:
         shingles = F.transform(shingles, lambda s: F.xxhash64(s))
-    return (
-        docs.filter(F.col(text_col).isNotNull())
-        .select(F.col(id_col), F.explode(shingles).alias("shingle"))
-        .distinct()
+    # per-doc dedup INSIDE the array, before the explode: array_distinct is
+    # map-side, so the (doc_id, shingle) stream needs NO distinct exchange
+    # at all — the previous explode-then-distinct shuffled every shingle
+    # occurrence of the corpus once just to dedup within each doc
+    # (guide §2.4 "remove shuffles outright"; output is identical)
+    return docs.filter(F.col(text_col).isNotNull()).select(
+        F.col(id_col), F.explode(F.array_distinct(shingles)).alias("shingle")
     )
 
 

@@ -138,9 +138,19 @@ def _driver_cc(
             lo, hi = (ra, rb) if ra < rb else (rb, ra)
             parent[hi] = lo
 
-    assign = [(x, find(x)) for x in list(parent)]
-    if assign:
-        result = spark.createDataFrame(assign, f"{id_col} long, cluster_id long")
+    if parent:
+        import numpy as np
+        import pandas as pd
+
+        ks = np.fromiter(parent.keys(), dtype=np.int64, count=len(parent))
+        roots = np.array([find(int(x)) for x in ks], dtype=np.int64)
+        # pandas → Arrow → JVM: the tuple-list path pickles rows through a
+        # python-RDD scan job (~4 s per call at any size — guide §6 "Arrow
+        # for driver transfers"); the Arrow path is a driver-side memcpy
+        result = spark.createDataFrame(
+            pd.DataFrame({id_col: ks, "cluster_id": roots}),
+            f"{id_col} long, cluster_id long",
+        )
     else:
         result = spark.createDataFrame([], f"{id_col} long, cluster_id long")
     if vertices is not None:

