@@ -64,8 +64,15 @@ def doc_shingles(
     # map-side, so the (doc_id, shingle) stream needs NO distinct exchange
     # at all — the previous explode-then-distinct shuffled every shingle
     # occurrence of the corpus once just to dedup within each doc
-    # (guide §2.4 "remove shuffles outright"; output is identical)
-    return docs.filter(F.col(text_col).isNotNull()).select(
+    # (guide §2.4 "remove shuffles outright"; output is identical).
+    # ensure_min_partitions: the shingle build is the compute-dense step
+    # (O(tokens·k) string work per doc) — a 1-2-split local input would
+    # otherwise run it on 1-2 cores (no-op on corpus-scale inputs); both
+    # consumers of this function share the one exchange (ReusedExchange).
+    from ..session import ensure_min_partitions
+
+    base = ensure_min_partitions(docs.filter(F.col(text_col).isNotNull()))
+    return base.select(
         F.col(id_col), F.explode(F.array_distinct(shingles)).alias("shingle")
     )
 

@@ -363,10 +363,12 @@ def verify_pairs(
     # scale, participants are billions of ids — a forced broadcast would
     # OOM the driver; measured at 1M pairs the shuffle semi-join is also
     # ~10% faster than the forced broadcast at 4 and 16 cores alike).
-    participants = (
-        pairs.select(F.col("src").alias(id_col))
-        .unionByName(pairs.select(F.col("dst").alias(id_col)))
-        .distinct()
+    # no distinct: left_semi dedups its build side inherently, so the
+    # explicit distinct only added a full exchange + aggregation of the
+    # pair-id stream before the semi join (guide §2.4 — "a distinct on
+    # data that is already unique [for the consumer]")
+    participants = pairs.select(F.col("src").alias(id_col)).unionByName(
+        pairs.select(F.col("dst").alias(id_col))
     )
     texts = texts.join(participants, id_col, "left_semi")
     # no pre-partitioning of texts: the pair side is byte-small, so the

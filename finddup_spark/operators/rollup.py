@@ -221,55 +221,32 @@ def rollup_dirs(
     false for real url depth distributions (leaves spread over depths).
     """
     depth_of = F.size(F.split("parent", "/"))
-    # persist the leaf rows ONCE: every level filters them by depth, and
-    # without the cache each level re-runs the whole leaf chain (pages
-    # scan + clusters join) — measured as both slow AND high-variance.
-    leaves = leaf_rows.withColumn("depth", depth_of).persist()
-    max_depth, n_leaves = leaves.agg(F.max("depth"), F.count(F.lit(1))).collect()[0]
-    if n_leaves and n_leaves <= driver_threshold and max_depth is not None:
-        # HYBRID: the deepest level holds ~all leaf rows — aggregate it
-        # DISTRIBUTED (corpus-sized groupBy, scales with the cluster);
-        # what comes back is dir-sized (one row per directory), so the
-        # remaining shallower levels roll up on the driver (the P4
-        # cardinality switch, same as operators/cc.py). Collecting raw
-        # leaves instead measured ~2x the stage wall at 10^6 pages.
-        d_max = int(max_depth)
-        deep = _level_agg(
-            leaves.filter(F.col("depth") == d_max).select(
-                "parent", "child_sig", "n_bytes"
-            )
-        ).withColumn("depth", F.lit(d_max))
-        deep_pdf = deep.toPandas()
-        rest_pdf = (
-            leaves.filter(F.col("depth") < d_max)
-            .select("parent", "child_sig", "n_bytes")
-            .toPandas()
-        )
-        leaves.unpersist()
-        import pandas as pd
-
-        # the deep dirs become child rows of their parents one level up
-        parent_of = deep_pdf["path"].str.rsplit("/", n=1).str[0]
-        upper_children = pd.concat([
-            rest_pdf,
-            pd.DataFrame({
-                "parent": parent_of.values,
-                "child_sig": deep_pdf["dir_sig"].values,
-                "n_bytes": deep_pdf["n_bytes"].values,
-            }) if d_max > 1 else
-            pd.DataFrame(columns=["parent", "child_sig", "n_bytes"]),
-        ], ignore_index=True)
-        upper = _driver_rollup(spark, upper_children)
-        deep_out = spark.createDataFrame(
-            deep_pdf[["path", "depth", "dir_sig", "n_bytes", "n_children"]]
-        )
-        return deep_out.unionByName(
-            upper.select("path", "depth", "dir_sig", "n_bytes", "n_children")
-        )
-    if max_depth is None:
+    leaves = leaf_rows.withColumn("depth", depth_of)
+    # limit-guarded collect (same idiom as operators/cc.py): ONE Arrow
+    # action both decides the strategy and, in the common small case,
+    # delivers every leaf row to the vectorized driver rollup — the
+    # previous hybrid spent three actions here (count/max agg + a
+    # distributed deepest-level agg + a second collect) to avoid
+    # collecting ≤ driver_threshold rows ≈ 15 MB, which the Arrow path
+    # moves in milliseconds. At most driver_threshold + 1 rows ever reach
+    # the driver; overflow falls through to the distributed per-level
+    # loop, which scales with executors.
+    probe = (
+        leaves.select("parent", "child_sig", "n_bytes")
+        .limit(driver_threshold + 1)
+        .toPandas()
+    )
+    if len(probe) == 0:
         return spark.createDataFrame(
             [], "path string, depth int, dir_sig string, n_bytes long, n_children long"
         )
+    if len(probe) <= driver_threshold:
+        return _driver_rollup(spark, probe)
+    # persist the leaf rows ONCE: every level filters them by depth, and
+    # without the cache each level re-runs the whole leaf chain (pages
+    # scan + clusters join) — measured as both slow AND high-variance.
+    leaves = leaves.persist()
+    max_depth = leaves.agg(F.max("depth")).collect()[0][0]
 
     all_dirs = []
     # only the PARENT rows produced by the level below thread level-to-

@@ -54,7 +54,11 @@ def brute_force_topk(
     ``query_ids`` bounds the left side (broadcast) so the join is
     |queries| × N, not N²; None means all-pairs (oracle scale only).
     """
-    e = with_norm(emb, id_col, vec_col)
+    from ..session import ensure_min_partitions
+
+    # the per-pair cosine fold below is the compute-dense step: spread a
+    # 1-2-split local input across the cores first (no-op at scale)
+    e = with_norm(ensure_min_partitions(emb), id_col, vec_col)
     q = e.select(F.col(id_col).alias("query_id"), F.col("vec_d").alias("vq"), F.col("norm").alias("nq"))
     if query_ids is not None:
         q = q.filter(F.col("query_id").isin([int(x) for x in query_ids]))
@@ -324,11 +328,18 @@ def lsh_topk(
     (2× the typical bucket count 2^n_planes at default settings).
     """
     buckets = hyperplane_buckets(emb, dim, n_planes, n_tables, seed, id_col, vec_col)
-    a = buckets.select("table_id", "bucket", F.col(id_col).alias("query_id"))
+    # ONE exchange for the whole candidate join (guide §2.4): both join
+    # sides derive from the same windowed subtree, so the hyperplane UDF
+    # and the (table_id, bucket) shuffle run once (ReusedExchange) and
+    # the self-join needs no further exchange or sort — the window's
+    # (table_id, bucket, id) sort already satisfies the join keys. The
+    # previous a/b split evaluated the UDF and shuffled the bucket table
+    # twice, once per side.
     wb = Window.partitionBy("table_id", "bucket").orderBy(id_col)
+    wo = buckets.withColumn("__rn", F.row_number().over(wb))
+    a = wo.select("table_id", "bucket", F.col(id_col).alias("query_id"))
     b = (
-        buckets.withColumn("__rn", F.row_number().over(wb))
-        .filter(F.col("__rn") <= bucket_cap)
+        wo.filter(F.col("__rn") <= bucket_cap)
         .select("table_id", "bucket", F.col(id_col).alias("neighbor_id"))
     )
     cand = (

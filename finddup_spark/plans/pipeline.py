@@ -168,15 +168,27 @@ class DedupPipeline:
         # per stage (the previous groupBy(spark_partition_id) job re-read
         # the whole stage output)
         import glob
+        from concurrent.futures import ThreadPoolExecutor
 
         import pyarrow.parquet as pq
 
         files = sorted(
             glob.glob(os.path.join(self._path(stage), "**", "*.parquet"), recursive=True)
         )
+
+        def _rows(fpath: str) -> int:
+            return pq.ParquetFile(fpath).metadata.num_rows
+
+        # footer reads are independent, tiny, I/O-bound — a serial loop
+        # over a many-file stage (e.g. the band table) is pure driver
+        # wall; a small pool reads them concurrently
+        if len(files) > 8:
+            with ThreadPoolExecutor(max_workers=16) as pool:
+                counts = list(pool.map(_rows, files))
+        else:
+            counts = [_rows(f) for f in files]
         n = 0
-        for pid, fpath in enumerate(files):
-            rows = pq.ParquetFile(fpath).metadata.num_rows
+        for pid, rows in enumerate(counts):
             n += rows
             self._lineage_rows.append((stage, pid, int(rows), wall_ms, "ok"))
         run.stages.append(StageResult(stage, n, wall_ms, skipped=False))
@@ -256,9 +268,17 @@ class DedupPipeline:
         sigs = self._write_stage(
             run,
             "signatures",
+            # rebalance before write (guide §6 "coalesce on write"): the
+            # kernel runs at cores-many partitions for compute parallelism,
+            # but the ~300 B/row signature table written from them is tiny
+            # per task — AQE sizes the write to advisory-sized files (one
+            # file at bench scale instead of 32; a handful of right-sized
+            # files at corpus scale), and the next stage's scan stops
+            # paying per-file open cost. The exchange this adds moves only
+            # the narrow signature rows, never text.
             lambda: compute_signatures(
                 texts, cfg, with_bands=True, with_minhash=False
-            ),
+            ).hint("rebalance"),
         )
         bands = self._write_stage(
             run,
@@ -441,9 +461,12 @@ class DedupPipeline:
                 # checkpoint=True: leaves are cached, so each level's
                 # eager job is tiny — and the write-time plan stays flat
                 # instead of a depth-deep nested union (measured: the
-                # lazy variant was both slower and high-variance)
+                # lazy variant was both slower and high-variance).
+                # rebalance: the dirs table is dir-count-sized (tiny vs
+                # the corpus at every scale) — without it the write
+                # inherits ~parallelism-many near-empty partitions
                 dirs = rollup_dirs(self.spark, leaf, checkpoint=True)
-                return analyze_dirs(dirs)
+                return analyze_dirs(dirs).hint("rebalance")
 
             self._write_stage(run, "dirs", _dirs)
         t_fin = time.monotonic()

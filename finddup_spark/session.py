@@ -28,6 +28,19 @@ def _default_heap() -> str:
     return f"{max(2, min(24, int(total_gb // 2)))}g"
 
 
+def ensure_min_partitions(df):
+    """Round-robin the input up to ``defaultParallelism`` partitions IFF
+    it arrives narrower (tiny/local inputs land in 1-2 parquet splits —
+    single-row-group files cannot split further, so a compute-dense
+    expression or UDF downstream runs near single-threaded). A corpus-
+    scale input already has thousands of splits, making this a no-op
+    there — the same guard compute_signatures has always used."""
+    sc = df.sparkSession.sparkContext
+    if df.rdd.getNumPartitions() < sc.defaultParallelism:
+        return df.repartition(sc.defaultParallelism)
+    return df
+
+
 def get_spark(
     app_name: str = "finddup-spark",
     cores: int | None = None,
