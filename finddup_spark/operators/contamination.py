@@ -18,7 +18,9 @@ side is one explode + broadcast left-semi-style join + per-doc
 re-aggregation: no corpus-sized shuffle on gram strings, and with
 ``hashed=True`` (production default, same idiom as
 :mod:`finddup_spark.operators.boilerplate`) the per-doc distinct and
-re-aggregation exchange 8-byte xxhash64 longs, never gram text. The
+re-aggregation exchange 8-byte hashed-gram longs (computed in the
+vectorized kernel, :func:`finddup_spark.operators.boilerplate.
+_batch_space_shingles`), never gram text. The
 string form (``hashed=False``) is what the DuckDB driver oracle
 recomputes value-for-value; tests prove hashed == string.
 

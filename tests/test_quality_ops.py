@@ -149,3 +149,41 @@ def test_benchmark_grams_distinct_and_broadcastable(spark):
     g = benchmark_grams(bench, n=8)
     # 9 tokens -> 2 windows, duplicated suite rows collapse
     assert g.count() == 2
+
+
+def test_space_shingle_kernel_edge_parity(spark):
+    """The hashed-path numpy shingle kernel must reproduce the string
+    path's OUTPUT on adversarial split(" ") semantics: runs of spaces
+    (empty tokens), leading/trailing spaces, docs shorter than k, empty
+    text, embedded newlines (NOT separators for split(" ")), NUL-byte
+    tokens, unicode, and within-doc duplicate grams."""
+    import pandas as pd
+
+    from finddup_spark.operators.boilerplate import boilerplate_ratio
+
+    rows = [
+        (0, "w1 w2 w3 w4 w5 w6 w7"),
+        (1, "a  b c d e f"),          # double space -> empty token
+        (2, "short doc"),             # < k tokens
+        (3, ""),                      # empty text -> one empty token
+        (4, " "),                     # two empty tokens
+        (5, "a b c d e"),             # exactly k
+        (6, "a b c d e"),             # duplicate doc -> identical grams
+        (7, "x\ny z w v u t"),        # newline stays inside a token
+        (8, "unicode é ü 漢字 tok six seven"),
+        (9, "rep rep rep rep rep rep rep rep"),  # within-doc dup grams
+        (10, "\x00 b c d e f"),       # NUL-byte token
+        (11, "a b c d e f "),         # trailing space -> empty token
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    a = (
+        boilerplate_ratio(docs, k=5, min_df=2, hashed=True)
+        .toPandas().sort_values("doc_id").reset_index(drop=True)
+    )
+    b = (
+        boilerplate_ratio(docs, k=5, min_df=2, hashed=False)
+        .toPandas().sort_values("doc_id").reset_index(drop=True)
+    )
+    pd.testing.assert_frame_equal(a, b)
+    # non-vacuous: the duplicate docs share df>=2 grams
+    assert a.set_index("doc_id").loc[5, "n_boiler"] > 0
