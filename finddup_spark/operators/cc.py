@@ -152,6 +152,14 @@ def _driver_cc(
             f"{id_col} long, cluster_id long",
         )
     else:
+        # no edges at all: every vertex is a singleton — identical to the
+        # general path below (empty ∪ (vertices ⟕̸ empty)) minus the
+        # anti-join/union plan nodes it would burn on a no-dup corpus
+        if vertices is not None:
+            return vertices.select(
+                F.col(id_col).cast("long").alias(id_col),
+                F.col(id_col).cast("long").alias("cluster_id"),
+            )
         result = spark.createDataFrame([], f"{id_col} long, cluster_id long")
     if vertices is not None:
         singles = (
